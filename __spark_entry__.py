@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship dedup query on /root/testdata/sf0.001.
+queries()         — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB-equivalent SQL for the SQL-expressible ones.
+
+Dedup-specific queries run over the driver's ``documents`` table with
+a deterministic *injected-duplicate view* (union of the table with a
+keyed subset re-id'd), constructed identically in Spark and in the
+oracle SQL, so dup-group/keeper/cluster queries return non-trivial
+results on data that otherwise has no duplicates.
 """
 
 from __future__ import annotations
@@ -12,27 +16,712 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from deduplicator_go_spark.functions import text as TX
+from deduplicator_go_spark.operators import exact, joins, ngram, similarity
+from deduplicator_go_spark.operators.components import assign_all, connected_components
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _register(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    for t in names or TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-id'd copies of every 7th doc — the deterministic
+    injected-duplicate view (identical to the oracle's WITH base)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return docs.unionByName(copies)
+
+
+_DUP_BASE_SQL = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: exact dup groups + keeper election on sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    base = _docs_with_dups(spark, sf_dir)
+    sigs = base.select(
+        F.col("doc_id").cast("string").alias("url"),
+        TX.content_sha(F.col("text")).alias("content_sha"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    groups = exact.dup_groups(sigs)
+    members = exact.dup_members(sigs, groups)
+    return exact.elect_keeper_lexicographic(members).select(
+        "url", "content_sha", "size", "n_copies", "total_size", "rank", "is_keeper"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_exact_dup_groups(spark, sf_dir):
+    """A2: GROUP BY (content hash, size) HAVING n>1 (files/utils.go:67-96)."""
+    base = _docs_with_dups(spark, sf_dir)
+    return (
+        base.select(TX.content_sha(F.col("text")).alias("content_sha"),
+                    F.col("n_chars").alias("size"))
+        .groupBy("content_sha", "size")
+        .agg(F.count("*").alias("n_copies"), F.sum("size").alias("total_size"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _q_size_blocking(spark, sf_dir):
+    """A1: sizes occurring >=2 are hash candidates (files/hash.go:37-48)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.col("n_chars").alias("size"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q_top_groups(spark, sf_dir):
+    """W4/O1: top groups by total size (files/utils.go:89-95)."""
+    g = _q_exact_dup_groups(spark, sf_dir)
+    return g.orderBy(F.desc("total_size"), F.asc("content_sha")).limit(10)
+
+
+def _q_savings(spark, sf_dir):
+    """A4: reclaimable bytes (files/utils.go:181-188)."""
+    g = _q_exact_dup_groups(spark, sf_dir).withColumnRenamed("n_copies", "n_copies_")
+    return g.agg(
+        F.sum((F.col("n_copies_") - 1) * F.col("size")).alias("savings_bytes"),
+        F.count("*").alias("n_groups"),
+    )
+
+
+def _q_keeper_election(spark, sf_dir):
+    """W2: deterministic keeper = min id per dup group (files/move.go:226-246)."""
+    base = _docs_with_dups(spark, sf_dir)
+    sigs = base.select("doc_id", TX.content_sha(F.col("text")).alias("content_sha"),
+                       F.col("n_chars").alias("size"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("content_sha", "size").orderBy("doc_id")
+    counts = Window.partitionBy("content_sha", "size")
+    return (
+        sigs.withColumn("n_copies", F.count("*").over(counts))
+        .filter(F.col("n_copies") > 1)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("content_sha", F.col("doc_id").alias("keeper_id"), "n_copies")
+    )
+
+
+def _q_priority_keeper(spark, sf_dir):
+    """W3: keep top-min_copies by (priority, source, id) per group
+    (files/group_dedup.go:263-289); priority derived from source."""
+    base = _docs_with_dups(spark, sf_dir)
+    sigs = base.select(
+        "doc_id", "source",
+        TX.content_sha(F.col("text")).alias("content_sha"),
+        F.col("n_chars").alias("size"),
+        F.when(F.col("source").isin("src0", "src1"), 10)
+        .when(F.col("source").isin("src2", "src3"), 50)
+        .otherwise(100).alias("priority"),
+    )
+    from pyspark.sql import Window
+    counts = Window.partitionBy("content_sha", "size")
+    w = Window.partitionBy("content_sha", "size").orderBy("priority", "source", "doc_id")
+    return (
+        sigs.withColumn("n_copies", F.count("*").over(counts))
+        .filter(F.col("n_copies") > 1)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "is_keeper",
+            F.col("rank") <= F.when(F.col("n_copies") <= 2, F.col("n_copies")).otherwise(F.lit(2)),
+        )
+        .select("content_sha", "doc_id", "priority", "rank", "is_keeper")
+    )
+
+
+def _q_cluster_labels(spark, sf_dir):
+    """Connected components over exact-dup edges; for exact edges the
+    component label provably equals min(doc_id) per identical text —
+    which is what the SQL oracle computes."""
+    base = _docs_with_dups(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        TX.content_sha(F.col("text")).alias("content_sha"),
+        F.col("n_chars").alias("size"),
+    )
+    # zero-pad so string order == numeric order for the label choice
+    padded = base.withColumn("url", F.lpad("url", 9, "0"))
+    edges = exact.exact_edges(padded)
+    labels = assign_all(padded, connected_components(edges))
+    return labels.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    """C-analog text analysis: whitespace token counts per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+def _q_lang_agg(spark, sf_dir):
+    """F1-analog scoping + aggregate per language."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    """Normalized-content fingerprint per doc (C1+C2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_quality(spark, sf_dir):
+    """Quality features: alpha/space ratios, mean token length."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["space_ratio"], 6).alias("space_ratio"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+    )
+
+
+def _q_ngram_pairs(spark, sf_dir):
+    """Word-trigram Jaccard dup pairs over the injected-dup view."""
+    base = _docs_with_dups(spark, sf_dir)
+    return ngram.ngram_jaccard_pairs(
+        base, n=3, threshold=0.8, id_col="doc_id", text_col="text"
+    )
+
+
+def _q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors per vector (exact baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.brute_force_topk(emb, k=3)
+
+
+def _q_anti_join_customers(spark, sf_dir):
+    """J4: customers with no large order (existence anti-join,
+    files/import.go:270-323)."""
+    _register(spark, sf_dir, ["customer", "orders"])
+    c = spark.table("customer")
+    o = spark.table("orders").filter(F.col("o_totalprice") > 300000)
+    return joins.existence_antijoin(
+        c.select("c_custkey", "c_name"), o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey"
+    )
+
+
+def _q_semi_join_parts(spark, sf_dir):
+    """J3-analog: parts that appear in lineitem, counted by brand."""
+    _register(spark, sf_dir, ["part", "lineitem"])
+    p = spark.table("part")
+    l = spark.table("lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    return (
+        p.join(l, "p_partkey", "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def _q_mirror_conflicts(spark, sf_dir):
+    """J6: keys with >1 distinct value (conflict detection,
+    files/mirror.go:84-101) — parts supplied by >1 supplier."""
+    _register(spark, sf_dir, ["lineitem"])
+    return joins.mirror_conflicts(
+        spark.table("lineitem"), "l_partkey", "l_suppkey"
+    ).withColumnRenamed("n_hashes", "n_suppliers")
+
+
+def _q_change_detection(spark, sf_dir):
+    """J9: MERGE-shaped classify incoming vs stored (files/process.go:340-393).
+    Incoming = orders with every 100th price bumped + synthetic new rows."""
+    _register(spark, sf_dir, ["orders"])
+    stored = spark.table("orders").select("o_orderkey", "o_totalprice")
+    incoming = (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 100 == 0, F.round(F.col("o_totalprice") + 1, 2))
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.table("orders").filter(F.col("o_orderkey") % 500 == 0)
+            .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_totalprice")
+        )
+    )
+    out = joins.change_detection(incoming, stored, ["o_orderkey"], ["o_totalprice"])
+    return out.groupBy("change").agg(F.count("*").alias("n"))
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation over lineitem."""
+    _register(spark, sf_dir, ["lineitem"])
+    l = spark.table("lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped join + top-k by revenue."""
+    _register(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation over the events stream table."""
+    _register(spark, sf_dir, ["events"])
+    e = spark.table("events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: lag gap > 30 min starts a new session; sessions
+    counted per user (window-function composition)."""
+    _register(spark, sf_dir, ["events"])
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    e = spark.table("events")
+    # interval arithmetic works on TIMESTAMP_NTZ (a long-cast does not)
+    gaps = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (F.col("prev_ts").isNull() |
+         (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 1800 SECONDS"))).cast("int"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def _q_dedup_events(spark, sf_dir):
+    """U4-analog dropDuplicates: first event per (user_id, event_type)
+    by ts then event_id (deterministic keep-first)."""
+    _register(spark, sf_dir, ["events"])
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        spark.table("events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def _q_like_search(spark, sf_dir):
+    """F8/O5: case-insensitive containment search with capped results
+    (cmd/server.go:299-354, cap :24)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.lower(F.col("text")).contains("spark"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("doc_id"))
+        .limit(500)
+    )
+
+
+def _q_path_popularity(spark, sf_dir):
+    """A5/A6: per-key copy counts + pick the most popular variant
+    (files/group_mirror.go:381-425): per event_type, the user with the
+    most events (ties: smaller user_id)."""
+    _register(spark, sf_dir, ["events"])
+    from pyspark.sql import Window
+    counts = (
+        spark.table("events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("top_user"), "n_events")
+    )
+
+
+def _q_minhash_near_pairs(spark, sf_dir):
+    """MinHash/LSH near-dup pairs over a derived view with injected
+    near-duplicates (copy = text || ' xtra token tail'); non-SQL
+    (pandas-UDF MinHash) → rows-only check."""
+    from deduplicator_go_spark.config import DedupConfig
+    from deduplicator_go_spark.operators.lsh import band_table, candidate_pairs
+    from deduplicator_go_spark.operators.minhash import minhash_signatures
+    from deduplicator_go_spark.operators.verify import verify_pairs
+
+    c = DedupConfig()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).cast("string").alias("url"),
+        F.concat(F.col("text"), F.lit(" xtra token tail")).alias("text"),
+    )
+    view = base.unionByName(near)
+    sigs = minhash_signatures(view, c.shingle_size, c.num_perm, c.minhash_seed)
+    cands = candidate_pairs(band_table(sigs, c.lsh_bands, c.lsh_rows),
+                            c.band_pair_cap, c.band_salt)
+    return (
+        verify_pairs(cands, view, c.shingle_size, threshold=0.7)
+        .filter("is_dup")
+        .select("url_a", "url_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _q_simhash_candidates(spark, sf_dir):
+    """SimHash banded Hamming-distance candidates over the same injected
+    near-dup view; native exprs but xxhash64-dependent → rows-only."""
+    from deduplicator_go_spark.operators.simhash import simhash, simhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).cast("string").alias("url"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    return simhash_candidates(simhash(base.unionByName(near)), max_hamming=3)
+
+
+def _q_substr_blocks(spark, sf_dir):
+    """Long-shared-substring pairs (suffix stage) over a derived view
+    where copies share the full original text as a block; rows-only."""
+    from deduplicator_go_spark.operators.suffix import substr_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    wrapped = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).cast("string").alias("url"),
+        F.concat(F.lit("PREFIX BLOCK :: "), F.col("text"), F.lit(" :: SUFFIX TAIL")).alias("text"),
+    )
+    return substr_pairs(
+        base.unionByName(wrapped), min_len=128, anchor_k=32, anchor_mod=4
+    ).select("url_a", "url_b", "lcs_len")
+
+
+def _q_embedding_lsh_dups(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup pairs over a view with exact
+    vector copies injected; rows-only (seeded random hyperplanes)."""
+    from deduplicator_go_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return embedding_dup_pairs(emb.unionByName(copies), threshold=0.999)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_groups": _q_exact_dup_groups,
+        "size_blocking": _q_size_blocking,
+        "top_groups": _q_top_groups,
+        "savings": _q_savings,
+        "keeper_election": _q_keeper_election,
+        "priority_keeper": _q_priority_keeper,
+        "cluster_labels": _q_cluster_labels,
+        "token_counts": _q_token_counts,
+        "lang_agg": _q_lang_agg,
+        "fingerprints": _q_fingerprints,
+        "quality_features": _q_quality,
+        "ngram_pairs": _q_ngram_pairs,
+        "embedding_topk": _q_embedding_topk,
+        "anti_join_customers": _q_anti_join_customers,
+        "semi_join_parts": _q_semi_join_parts,
+        "mirror_conflicts": _q_mirror_conflicts,
+        "change_detection": _q_change_detection,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "dedup_events": _q_dedup_events,
+        "like_search": _q_like_search,
+        "path_popularity": _q_path_popularity,
+        # non-SQL-expressible (pandas-UDF / hash-seeded) — rows-only checks
+        "minhash_near_pairs": _q_minhash_near_pairs,
+        "simhash_candidates": _q_simhash_candidates,
+        "substr_blocks": _q_substr_blocks,
+        "embedding_lsh_dups": _q_embedding_lsh_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dup_base = _DUP_BASE_SQL
+    return {
+        "exact_dup_groups": f"""
+            WITH base AS ({dup_base})
+            SELECT sha256(text) AS content_sha, n_chars AS size,
+                   count(*) AS n_copies, CAST(sum(n_chars) AS BIGINT) AS total_size
+            FROM base GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "size_blocking": """
+            SELECT n_chars AS size, count(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "top_groups": f"""
+            WITH base AS ({dup_base})
+            SELECT sha256(text) AS content_sha, n_chars AS size,
+                   count(*) AS n_copies, CAST(sum(n_chars) AS BIGINT) AS total_size
+            FROM base GROUP BY 1, 2 HAVING count(*) > 1
+            ORDER BY total_size DESC, content_sha ASC LIMIT 10
+        """,
+        "savings": f"""
+            WITH base AS ({dup_base}),
+            g AS (
+              SELECT n_chars AS size, count(*) AS n
+              FROM base GROUP BY sha256(text), n_chars HAVING count(*) > 1
+            )
+            SELECT CAST(sum((n - 1) * size) AS BIGINT) AS savings_bytes,
+                   count(*) AS n_groups
+            FROM g
+        """,
+        "keeper_election": f"""
+            WITH base AS ({dup_base}),
+            sigs AS (
+              SELECT doc_id, sha256(text) AS content_sha, n_chars AS size,
+                     count(*) OVER (PARTITION BY sha256(text), n_chars) AS n_copies,
+                     row_number() OVER (PARTITION BY sha256(text), n_chars ORDER BY doc_id) AS rank
+              FROM base
+            )
+            SELECT content_sha, doc_id AS keeper_id, n_copies
+            FROM sigs WHERE n_copies > 1 AND rank = 1
+        """,
+        "priority_keeper": f"""
+            WITH base AS ({dup_base}),
+            sigs AS (
+              SELECT doc_id, source, sha256(text) AS content_sha, n_chars AS size,
+                     CASE WHEN source IN ('src0','src1') THEN 10
+                          WHEN source IN ('src2','src3') THEN 50
+                          ELSE 100 END AS priority
+              FROM base
+            ),
+            ranked AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY content_sha, size) AS n_copies,
+                     row_number() OVER (PARTITION BY content_sha, size
+                                        ORDER BY priority, source, doc_id) AS rank
+              FROM sigs
+            )
+            SELECT content_sha, doc_id, priority, rank,
+                   rank <= (CASE WHEN n_copies <= 2 THEN n_copies ELSE 2 END) AS is_keeper
+            FROM ranked WHERE n_copies > 1
+        """,
+        "cluster_labels": f"""
+            WITH base AS ({dup_base})
+            SELECT doc_id,
+                   CAST(min(doc_id) OVER (PARTITION BY sha256(text), n_chars) AS BIGINT) AS cluster_id
+            FROM base
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "lang_agg": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "quality_features": """
+            SELECT doc_id,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+              round(length(regexp_replace(text, '[^\\s]', '', 'g'))
+                    / greatest(length(text), 1)::DOUBLE, 6) AS space_ratio,
+              round(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                         AND length(trim(text)) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\s]', '', 'g')))
+                         / len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE
+                    ELSE 0.0 END, 6) AS mean_token_len
+            FROM documents
+        """,
+        "ngram_pairs": f"""
+            WITH base AS ({dup_base}),
+            toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM base
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) ii
+              WHERE len(t) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common, sa.n_grams AS na, sb.n_grams AS nb,
+                   round(n_common / (sa.n_grams + sb.n_grams - n_common)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n_grams + sb.n_grams - n_common)::DOUBLE >= 0.8
+        """,
+        "embedding_topk": """
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+              SELECT id_a, id_b, c,
+                     row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS rank
+              FROM pairs
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "semi_join_parts": """
+            SELECT p_brand, count(*) AS n_parts FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            GROUP BY 1
+        """,
+        "mirror_conflicts": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1
+        """,
+        "change_detection": """
+            WITH incoming AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 100 = 0 THEN round(o_totalprice + 1, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice
+              FROM orders WHERE o_orderkey % 500 = 0
+            ),
+            classified AS (
+              SELECT i.o_orderkey,
+                     CASE WHEN s.o_orderkey IS NULL THEN 'insert'
+                          WHEN i.o_totalprice IS DISTINCT FROM s.o_totalprice THEN 'update'
+                          ELSE 'unchanged' END AS change
+              FROM incoming i LEFT JOIN orders s USING (o_orderkey)
+            )
+            SELECT change, count(*) AS n FROM classified GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "top_revenue_orders": """
+            SELECT o.o_orderkey AS orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM gaps GROUP BY 1
+        """,
+        "dedup_events": """
+            WITH ranked AS (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, event_type, event_id FROM ranked WHERE rn = 1
+        """,
+        "like_search": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lower(text) LIKE '%spark%'
+            ORDER BY doc_id DESC LIMIT 500
+        """,
+        "path_popularity": """
+            WITH counts AS (
+              SELECT event_type, user_id, count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY n_events DESC, user_id ASC) AS rn
+              FROM counts
+            )
+            SELECT event_type, user_id AS top_user, n_events
+            FROM ranked WHERE rn = 1
+        """,
+    }

@@ -1,0 +1,45 @@
+"""URL algebra — the webtext analog of the reference's path algebra
+(SURVEY.md §2.8 C4: filepath.Join/Rel/Clean, prefix strips,
+archiveRelativePath at files/move.go:316-330, safeIndexedPath at
+cmd/server.go:440-468). Native expressions only."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def url_path(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def url_domain(url: Column) -> Column:
+    """First DNS label of the host — the engine's 'host' grouping key."""
+    return F.substring_index(url_host(url), ".", 1)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip fragment, strip
+    trailing slash (normalize-once-at-ingest, the C2 lesson)."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host, preserve path case
+    return F.regexp_replace(
+        F.regexp_replace(no_frag, r"^([A-Za-z]+://[^/]+)", F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+://[^/]+)", 1))),
+        r"/$",
+        "",
+    )
+
+
+def relative_to_prefix(url: Column, prefix) -> Column:
+    """Strip a prefix (archiveRelativePath analog); null if not under it."""
+    p = F.lit(prefix) if isinstance(prefix, str) else prefix
+    return F.when(url.startswith(p), F.expr(f"substring(url, {len(prefix) + 1})"))
+
+
+def is_under(url: Column, prefix: str) -> Column:
+    """F6 dest-dir exclusion predicate (files/dedupe.go:72-84)."""
+    return url.startswith(F.lit(prefix))

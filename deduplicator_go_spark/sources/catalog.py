@@ -1,0 +1,199 @@
+"""Checkpoint catalog: parquet-backed stage tables with atomic commit
+markers and per-partition lineage rows.
+
+Generalizes the reference's resume contract — keyset bookmarks +
+``hash IS NULL`` work-queue predicates (/root/reference/files/
+hash.go:202-283) and batched transactions (find.go:125, prune.go:44)
+— into Spark-native terms: each stage writes its whole output, then a
+commit marker stamped with the config's params_hash; a killed job
+rerun skips every committed stage and (for incremental stages)
+anti-joins the frontier against its own completed output.
+
+On a production cluster this catalog is an Iceberg/Delta catalog
+(atomic snapshot commits, hidden partitioning); those jars are not in
+this image, so the same contract is implemented over parquet dirs +
+JSON markers behind one small interface — the pipeline code does not
+care which backend it gets.
+
+Lineage rows are per output *file* (the local stand-in for a
+partition): (run_id, stage, partition, rows, bytes, wall_ms,
+params_hash, completed_at) — the north rule's per-partition metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as papq
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CommitInfo:
+    stage: str
+    run_id: str
+    params_hash: str
+    rows: int
+    wall_ms: int
+    completed_at: float
+
+
+class CheckpointCatalog:
+    def __init__(self, root: str, run_id: str | None = None) -> None:
+        self.root = root
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _marker(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}_COMMIT.json")
+
+    def _lineage_dir(self) -> str:
+        d = os.path.join(self.root, "_lineage")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    # -- queries ----------------------------------------------------------
+    def commit_info(self, name: str) -> CommitInfo | None:
+        m = self._marker(name)
+        if not os.path.exists(m):
+            return None
+        with open(m) as f:
+            return CommitInfo(**json.load(f))
+
+    def is_complete(self, name: str, params_hash: str) -> bool:
+        info = self.commit_info(name)
+        return info is not None and info.params_hash == params_hash
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.table_path(name))
+
+    def drop(self, name: str) -> None:
+        path = self.table_path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        for side in (self._marker(name), self._params_sidecar(name)):
+            if os.path.exists(side):
+                os.remove(side)
+
+    # -- incremental-table params sidecar ----------------------------------
+    # An append-mode (incremental) table accumulates data across runs; its
+    # rows are only reusable if they were produced under the same params.
+    # The sidecar is written BEFORE the first append of a run so a killed
+    # run can still be classified on resume.
+    def _params_sidecar(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}_PARAMS.json")
+
+    def incremental_begin(self, name: str, params_hash: str) -> None:
+        """Ensure the incremental table is reusable under ``params_hash``;
+        wipe it if it was built under different params."""
+        side = self._params_sidecar(name)
+        current = None
+        if os.path.exists(side):
+            with open(side) as f:
+                current = json.load(f).get("params_hash")
+        if current != params_hash and self.exists(name):
+            self.drop(name)
+        with open(side + ".tmp", "w") as f:
+            json.dump({"params_hash": params_hash, "run_id": self.run_id}, f)
+        os.replace(side + ".tmp", side)
+
+    # -- writes -----------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        params_hash: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> CommitInfo:
+        """Write a stage output + commit marker + lineage rows.
+
+        overwrite goes through a temp dir + atomic rename so a kill
+        mid-write never leaves a half-table behind a valid marker
+        (marker is removed first, written last)."""
+        t0 = time.time()
+        path = self.table_path(name)
+        marker = self._marker(name)
+        if os.path.exists(marker):
+            os.remove(marker)
+
+        if mode == "overwrite":
+            tmp = path + f".tmp-{self.run_id}"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        elif mode == "append":
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+        else:
+            raise ValueError(mode)
+
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = self._record_lineage(name, params_hash, wall_ms)
+        info = CommitInfo(
+            stage=name,
+            run_id=self.run_id,
+            params_hash=params_hash,
+            rows=rows,
+            wall_ms=wall_ms,
+            completed_at=time.time(),
+        )
+        with open(marker + ".tmp", "w") as f:
+            json.dump(info.__dict__, f)
+        os.replace(marker + ".tmp", marker)
+        return info
+
+    def _record_lineage(self, name: str, params_hash: str, wall_ms: int) -> int:
+        """Per-output-file row counts from parquet footers (metadata-only
+        read — no data scan)."""
+        import pyarrow as pa
+
+        path = self.table_path(name)
+        frags = []
+        total = 0
+        ds = pads.dataset(path, format="parquet")
+        for i, frag in enumerate(ds.get_fragments()):
+            md = frag.metadata if hasattr(frag, "metadata") else None
+            nrows = md.num_rows if md is not None else frag.count_rows()
+            nbytes = os.path.getsize(frag.path) if os.path.exists(frag.path) else 0
+            total += nrows
+            frags.append(
+                {
+                    "run_id": self.run_id,
+                    "stage": name,
+                    "partition": os.path.basename(frag.path),
+                    "rows": nrows,
+                    "bytes": nbytes,
+                    "wall_ms": wall_ms,
+                    "params_hash": params_hash,
+                    "completed_at": time.time(),
+                }
+            )
+        table = pa.Table.from_pylist(frags)
+        out = os.path.join(self._lineage_dir(), f"{name}-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet")
+        papq.write_table(table, out)
+        return total
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._lineage_dir())

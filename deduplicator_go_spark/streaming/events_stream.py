@@ -1,0 +1,58 @@
+"""Structured Streaming over the events table — capability extension.
+
+The reference has no streaming operators (SURVEY.md §2.9), so the
+core engine stays batch-incremental.  This module exists for the
+engine's training-pipeline tier: the same windowed aggregations the
+batch path runs (``_q_events_hourly``) expressed as a Structured
+Streaming job with watermarked event time, runnable against a parquet
+directory for deterministic local smoke tests (availableNow trigger +
+memory sink) and against Kafka/files in production unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+
+
+def run_once_to_memory(agg: DataFrame, name: str = "stream_out") -> None:
+    """Drain all available input synchronously into a memory sink —
+    deterministic local execution of the streaming plan."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,88 @@
+"""Incremental batch processing — the engine's "streaming" model.
+
+The reference has no streaming operators (SURVEY.md §2.9); its
+incremental character is a 1-minute systemd timer re-running
+``files hash --count 100`` against a ``hash IS NULL`` work queue
+(/root/reference/systemd/deduplicator-hash.timer:5-8,
+/root/reference/scripts/hash-files.sh:16, files/hash.go:27-33).
+
+The Spark-native equivalent is *incremental batch over snapshots*:
+each tick processes the frontier — rows of the input not yet present
+in the stage's committed output — and appends.  This matches the
+reference's semantics exactly (at-least-once per row, resumable,
+bounded batches) without inventing streaming semantics the reference
+does not have.  On Iceberg this frontier is snapshot-diff; here it is
+an anti-join on the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import CheckpointCatalog
+
+
+def frontier(
+    inputs: DataFrame,
+    done: DataFrame | None,
+    key: str | list[str],
+    limit: int | None = None,
+    large_first: str | None = None,
+) -> DataFrame:
+    """Rows of ``inputs`` whose key is absent from ``done``.
+
+    ``limit`` mirrors the reference's --count batch bound
+    (files/hash.go:268); ``large_first`` mirrors --large-first ordering
+    (files/hash.go:109-123) — at scale ordering is only meaningful
+    with a limit, so it is applied just before the bound."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out = inputs
+    if done is not None:
+        out = out.join(done.select(*keys).distinct(), keys, "left_anti")
+    if limit is not None:
+        if large_first is not None:
+            out = out.orderBy(F.desc(F.coalesce(F.col(large_first), F.lit(-1))))
+        out = out.limit(limit)
+    return out
+
+
+def run_incremental(
+    spark: SparkSession,
+    catalog: CheckpointCatalog,
+    table: str,
+    inputs: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    key: str | list[str] = "url",
+    params_hash: str = "",
+    batch_limit: int | None = None,
+    max_ticks: int = 1_000_000,
+) -> int:
+    """Drive ``transform`` over the frontier until drained (the systemd
+    re-run loop collapsed into a driver loop).  Returns rows appended."""
+    total = 0
+    catalog.incremental_begin(table, params_hash)
+    for _ in range(max_ticks):
+        done = catalog.read(spark, table) if catalog.exists(table) else None
+        batch = frontier(inputs, done, key, limit=batch_limit)
+        out = transform(batch)
+        info = catalog.write(out, table, params_hash, mode="append")
+        total = info.rows
+        n_batch = batch.count() if batch_limit is not None else None
+        if batch_limit is None or (n_batch or 0) < batch_limit:
+            break
+    return total
+
+
+def staleness_filter(
+    done: DataFrame,
+    ts_col: str = "sig_ts",
+    max_age: str = "INTERVAL 1 WEEK",
+) -> DataFrame:
+    """Rows due for re-computation (reference --renew staleness,
+    files/hash.go:27-31): signature older than ``max_age``."""
+    return done.filter(
+        F.col(ts_col) < F.current_timestamp() - F.expr(max_age)
+    )

@@ -1,0 +1,49 @@
+"""Frontier-based incremental batch (streaming/incremental.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+from deduplicator_go_spark.streaming.incremental import frontier, run_incremental, staleness_filter
+
+
+def test_frontier_anti_join_and_limit(spark):
+    inputs = spark.createDataFrame([(f"u{i}", i) for i in range(10)], "url string, size long")
+    done = spark.createDataFrame([("u0",), ("u1",)], "url string")
+    f1 = frontier(inputs, done, "url")
+    assert f1.count() == 8
+    f2 = frontier(inputs, done, "url", limit=3, large_first="size")
+    rows = f2.collect()
+    assert len(rows) == 3
+    assert sorted(r["url"] for r in rows) == ["u7", "u8", "u9"]  # largest first
+
+
+def test_run_incremental_drains_in_batches(spark, tmp_path):
+    cat = CheckpointCatalog(str(tmp_path / "cat"))
+    inputs = spark.createDataFrame([(f"u{i}",) for i in range(25)], "url string")
+
+    def transform(batch):
+        return batch.withColumn("sig", F.sha2(F.col("url"), 256))
+
+    total = run_incremental(
+        spark, cat, "sigs", inputs, transform, key="url",
+        params_hash="p1", batch_limit=10,
+    )
+    assert total == 25
+    out = cat.read(spark, "sigs")
+    assert out.count() == 25
+    assert out.select("url").distinct().count() == 25
+
+
+def test_staleness_filter(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",)], "url string"
+    ).withColumn(
+        "sig_ts",
+        F.when(F.col("url") == "a",
+               F.current_timestamp() - F.expr("INTERVAL 8 DAYS"))
+        .otherwise(F.current_timestamp()),
+    )
+    stale = [r["url"] for r in staleness_filter(df).collect()]
+    assert stale == ["a"]

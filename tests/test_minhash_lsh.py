@@ -1,0 +1,95 @@
+"""MinHash/LSH statistical behavior at the frozen reference config
+(shingle_size=5, num_perm=128, b=32, r=4, seed=42) — known-Jaccard
+pairs must collide; the synthetic corpus must reach recall ≥ 0.99."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deduplicator_go_spark.config import DEFAULT_CONFIG as C
+from deduplicator_go_spark.operators import exact
+from deduplicator_go_spark.operators.lsh import band_table, candidate_pairs
+from deduplicator_go_spark.operators.minhash import (
+    estimated_jaccard,
+    minhash_signatures,
+    shingle_hashes,
+)
+from deduplicator_go_spark.operators.verify import verify_pairs
+
+
+def test_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame([("u1", "abcdefghij" * 30)], "url string, text string")
+    s1 = minhash_signatures(df, C.shingle_size, C.num_perm, C.minhash_seed).collect()[0]["sig"]
+    s2 = minhash_signatures(df, C.shingle_size, C.num_perm, C.minhash_seed).collect()[0]["sig"]
+    assert len(s1) == C.num_perm
+    assert s1 == s2
+
+
+def test_estimated_jaccard_tracks_true(spark):
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(800)]
+    base_toks = list(rng.choice(vocab, 500))
+    edited = base_toks.copy()
+    for _ in range(15):
+        edited[int(rng.integers(0, len(edited)))] = vocab[int(rng.integers(0, 800))]
+    a_txt, b_txt = " ".join(base_toks), " ".join(edited)
+    sa = shingle_hashes(a_txt, C.shingle_size)
+    sb = shingle_hashes(b_txt, C.shingle_size)
+    true_j = np.intersect1d(sa, sb).size / np.union1d(sa, sb).size
+
+    df = spark.createDataFrame([("a", a_txt), ("b", b_txt)], "url string, text string")
+    sigs = minhash_signatures(df, C.shingle_size, C.num_perm, C.minhash_seed)
+    wide = (
+        sigs.filter("url = 'a'")
+        .crossJoin(sigs.filter("url = 'b'").withColumnsRenamed({"url": "u2", "sig": "sig2"}))
+    )
+    est = wide.select(
+        estimated_jaccard(F.col("sig"), F.col("sig2"), C.num_perm).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - true_j) < 0.12
+
+
+def test_lsh_finds_known_near_pairs_and_recall(spark, docs, corpus):
+    valid = exact.valid_documents(docs)
+    sigs = minhash_signatures(valid, C.shingle_size, C.num_perm, C.minhash_seed)
+    bands = band_table(sigs, C.lsh_bands, C.lsh_rows)
+    cands = candidate_pairs(bands, C.band_pair_cap, C.band_salt).cache()
+
+    verified = verify_pairs(cands, valid, C.shingle_size, C.verify_threshold)
+    found = {
+        (r["url_a"], r["url_b"])
+        for r in verified.filter("is_dup").select("url_a", "url_b").collect()
+    }
+
+    truth = corpus.truth_pairs
+    want = truth[(truth["kind"].isin(["exact", "near"])) & (truth["jaccard"] >= C.verify_threshold)]
+    want_pairs = {
+        tuple(sorted((a, b))) for a, b in zip(want["url_a"], want["url_b"])
+    }
+    hit = sum(1 for p in want_pairs if p in found)
+    recall = hit / max(1, len(want_pairs))
+    assert recall >= 0.99, f"recall {recall} on {len(want_pairs)} truth pairs"
+
+    # negatives (same-length distinct docs) must NOT be verified as dups
+    neg = truth[truth["kind"] == "negative"]
+    neg_pairs = {tuple(sorted((a, b))) for a, b in zip(neg["url_a"], neg["url_b"])}
+    assert not (neg_pairs & found)
+
+
+def test_hot_band_chaining_keeps_edges_linear(spark, docs, corpus):
+    valid = exact.valid_documents(docs)
+    sigs = minhash_signatures(valid, C.shingle_size, C.num_perm, C.minhash_seed)
+    bands = band_table(sigs, C.lsh_bands, C.lsh_rows)
+    tmpl = corpus.documents[corpus.documents["kind"] == "template"]["url"]
+    n_tmpl = len(tmpl)
+    cands = candidate_pairs(bands, band_pair_cap=8, band_salt=4)
+    tmpl_set = set(tmpl)
+    tmpl_edges = [
+        r
+        for r in cands.collect()
+        if r["url_a"] in tmpl_set and r["url_b"] in tmpl_set
+    ]
+    # all-pairs would be n*(n-1)/2 per band; chaining keeps it near-linear
+    assert len(tmpl_edges) < 6 * n_tmpl
+    assert any(r["origin"] == "chain" for r in tmpl_edges)

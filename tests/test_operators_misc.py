@@ -1,0 +1,201 @@
+"""SimHash, n-gram Jaccard, embedding similarity, catalog joins,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicator_go_spark.operators import joins, multimodal, ngram, similarity, simhash
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def test_simhash_identical_and_near(spark):
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok5 ", "tok5x ").replace("tok100 ", "zzz ")
+    far = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", near), ("d", far)], "url string, text string"
+    )
+    sigs = {r["url"]: r["simhash"] for r in simhash.simhash(df).collect()}
+    assert sigs["a"] == sigs["b"]
+    ham_near = bin((sigs["a"] ^ sigs["c"]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sigs["a"] ^ sigs["d"]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < 12 < ham_far
+
+
+def test_simhash_candidates_pigeonhole(spark):
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = base.replace("tok7 ", "q7 ")
+    df = spark.createDataFrame([("a", base), ("b", near)], "url string, text string")
+    cands = simhash.simhash_candidates(simhash.simhash(df), max_hamming=3).collect()
+    assert [(r["url_a"], r["url_b"]) for r in cands] == [("a", "b")]
+
+
+# --------------------------------------------------------------------------
+# word n-gram jaccard
+# --------------------------------------------------------------------------
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("d1", "a b c d")], "url string, text string")
+    grams = sorted(r["gram"] for r in ngram.word_ngrams(df, 3).collect())
+    assert grams == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(spark):
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy dog again and then"
+    t3 = "completely different words entirely here nothing shared at all"
+    df = spark.createDataFrame(
+        [("d1", t1), ("d2", t2), ("d3", t3)], "url string, text string"
+    )
+    got = ngram.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("d1", "d2")]
+    r = got[0]
+    # 12 tokens -> 10 trigrams each; common = 9 (last two differ)
+    assert r["na"] == 10 and r["nb"] == 10 and r["n_common"] == 9
+    assert abs(r["jaccard"] - 9 / 11) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    # vec 0 and 1 nearly identical; 2 is its slight rotation
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    base[2] = base[0] + 0.05 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb):
+    top = similarity.brute_force_topk(emb, k=2).collect()
+    by_a = {}
+    for r in top:
+        by_a.setdefault(r["id_a"], []).append((r["rank"], r["id_b"], r["cos"]))
+    assert sorted(x[1] for x in by_a[0]) == [1, 2]
+    assert all(len(v) == 2 for v in by_a.values())
+
+
+def test_lsh_topk_agrees_on_near_duplicates(emb):
+    exact_rows = similarity.brute_force_topk(emb, k=1).collect()
+    exact_nn = {r["id_a"]: r["id_b"] for r in exact_rows}
+    approx_rows = similarity.lsh_topk(emb, k=1, n_bits=16, n_bands=8).collect()
+    approx_nn = {r["id_a"]: r["id_b"] for r in approx_rows}
+    # the true near-dup trio must be found by the approximate path
+    assert approx_nn.get(0) == exact_nn[0]
+    assert approx_nn.get(1) == exact_nn[1]
+
+
+def test_embedding_dup_pairs(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_dup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+# --------------------------------------------------------------------------
+# catalog joins
+# --------------------------------------------------------------------------
+
+def test_existence_antijoin(spark):
+    new = spark.createDataFrame([("h1",), ("h2",), ("h3",)], "h string")
+    old = spark.createDataFrame([("h2",)], "h string")
+    got = sorted(r["h"] for r in joins.existence_antijoin(new, old, "h").collect())
+    assert got == ["h1", "h3"]
+
+
+def test_mirror_missing_and_conflicts(spark):
+    cat = spark.createDataFrame(
+        [("hostA", "p1", "x"), ("hostB", "p1", "x"),
+         ("hostA", "p2", "y"), ("hostB", "p3", "z"), ("hostC", "p3", "w")],
+        "host string, relpath string, hash string",
+    )
+    hosts = spark.createDataFrame([("hostA",), ("hostB",), ("hostC",)], "host string")
+    missing = {r["relpath"]: r["missing_hosts"] for r in
+               joins.mirror_missing(cat, "host", "relpath", hosts).collect()}
+    assert missing["p1"] == ["hostC"]
+    assert missing["p2"] == ["hostB", "hostC"]
+    assert missing["p3"] == ["hostA"]
+    conflicts = [r["relpath"] for r in
+                 joins.mirror_conflicts(cat, "relpath", "hash").collect()]
+    assert conflicts == ["p3"]
+
+
+def test_hash_size_conflicts(spark):
+    cat = spark.createDataFrame(
+        [("h1", 10), ("h1", 10), ("h2", 5), ("h2", 6)], "hash string, size long"
+    )
+    got = [r["hash"] for r in joins.hash_size_conflicts(cat, "hash", "size").collect()]
+    assert got == ["h2"]
+
+
+def test_change_detection(spark):
+    incoming = spark.createDataFrame(
+        [("k1", "h1", 10), ("k2", "h2x", 20), ("k3", "h3", 30)],
+        "key string, hash string, size long",
+    )
+    stored = spark.createDataFrame(
+        [("k1", "h1", 10), ("k2", "h2", 20)], "key string, hash string, size long"
+    )
+    got = {r["key"]: r["change"] for r in
+           joins.change_detection(incoming, stored, ["key"], ["hash", "size"]).collect()}
+    assert got == {"k1": "unchanged", "k2": "update", "k3": "insert"}
+
+
+def test_prune_and_keep_most_specific(spark):
+    cat = spark.createDataFrame(
+        [(1, "/a/b", "/a"), (2, "/a/b", "/a/longer"), (3, "/c", "/c")],
+        "id long, resolved string, root string",
+    )
+    listing = spark.createDataFrame([("/a/b",)], "resolved string")
+    pruned = [r["id"] for r in joins.prune_missing(cat, listing, "resolved").collect()]
+    assert pruned == [3]
+    kept = sorted(r["id"] for r in
+                  joins.keep_most_specific(cat, "resolved", "root", "id").collect())
+    assert kept == [2, 3]
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m1", "image", b"\x89PNGfakebytes1", "image/png", 64, 64, None),
+        ("m2", "image", b"\x89PNGfakebytes1", "image/png", 64, 64, None),
+        ("m3", "audio", b"RIFFfakewav", "audio/wav", None, None, 1200),
+        ("m4", "video", b"\x00\x00ftypmp4x", "video/mp4", 320, 240, 5000),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_media_feature_plumbing(media):
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 4
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id["m1"]["feature"] == by_id["m2"]["feature"]  # deterministic
+    assert by_id["m1"]["payload_sha"] == by_id["m2"]["payload_sha"]
+    assert len(by_id["m3"]["feature"]) == 8
+    assert by_id["m4"]["n_bytes"] == len(b"\x00\x00ftypmp4x")
+
+
+def test_media_strict_raises(media):
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, strict=True)
+
+
+def test_media_stats_and_exact_dups(media):
+    stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert stats == {"image": 2, "audio": 1, "video": 1}
+    dups = multimodal.exact_dup_media(media).collect()
+    assert sorted(r["media_id"] for r in dups) == ["m1", "m2"]

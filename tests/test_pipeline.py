@@ -1,0 +1,158 @@
+"""End-to-end pipeline: cluster equivalence vs truth, recall, resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicator_go_spark.config import DedupConfig
+from deduplicator_go_spark.plans.pipeline import DedupPipeline
+from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+
+@pytest.fixture(scope="module")
+def ran(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    cat = CheckpointCatalog(root)
+    pipe = DedupPipeline(spark, cat, DedupConfig())
+    report = pipe.run(docs)
+    return cat, pipe, report
+
+
+def _cluster_partition(rows):
+    """set of frozensets of member urls (clusters with >1 member)."""
+    from collections import defaultdict
+
+    by_label = defaultdict(set)
+    for r in rows:
+        by_label[r["cluster_id"]].add(r["url"])
+    return {frozenset(v) for v in by_label.values() if len(v) > 1}
+
+
+def test_cluster_equivalence_vs_truth(spark, corpus, ran):
+    cat, pipe, report = ran
+    got = _cluster_partition(cat.read(spark, "clusters").collect())
+    want = _cluster_partition(
+        [{"cluster_id": c, "url": u} for u, c in
+         zip(corpus.truth_clusters["url"], corpus.truth_clusters["cluster_id"])]
+    )
+    # exact + near + template clusters must all be recovered exactly
+    missing = want - got
+    extra = got - want
+    assert not missing, f"missing clusters: {[sorted(m)[:2] for m in missing]}"
+    # substr/negative pairs must not have merged anything beyond truth
+    assert not extra, f"unexpected clusters: {[sorted(m)[:2] for m in extra]}"
+
+
+def test_cluster_ids_are_min_url(spark, ran):
+    cat, _, _ = ran
+    bad = (
+        cat.read(spark, "clusters")
+        .groupBy("cluster_id")
+        .agg(F.min("url").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_substr_pairs_found(spark, corpus, ran):
+    cat, _, _ = ran
+    got = {
+        tuple(sorted((r["url_a"], r["url_b"])))
+        for r in cat.read(spark, "substr_pairs").collect()
+    }
+    truth = corpus.truth_pairs
+    want_rows = truth[truth["kind"] == "substr"]
+    want = {tuple(sorted((a, b))) for a, b in zip(want_rows["url_a"], want_rows["url_b"])}
+    assert want <= got, f"missed {len(want - got)} of {len(want)} substr pairs"
+    # lcs_len must be >= the configured threshold and >= injected block len/2
+    for r in cat.read(spark, "substr_pairs").collect():
+        assert r["lcs_len"] >= 512
+
+
+def test_lineage_rows_written(spark, ran):
+    cat, pipe, report = ran
+    lin = cat.lineage(spark)
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert {"exact_sigs", "minhash_sigs", "candidates", "verified_pairs", "clusters"} <= stages
+    assert lin.filter("rows < 0").count() == 0
+    assert lin.filter(F.col("params_hash") != pipe.ph).count() == 0
+
+
+def test_resume_skips_completed_stages(spark, docs, ran):
+    cat, pipe, first = ran
+    # simulate a re-run after a kill at the very end: everything committed
+    pipe2 = DedupPipeline(spark, CheckpointCatalog(cat.root), DedupConfig())
+    second = pipe2.run(docs)
+    assert all(s.skipped for s in second.stages), [s for s in second.stages if not s.skipped]
+    # identical output
+    a = sorted(map(tuple, cat.read(spark, "clusters").collect()))
+    assert len(a) > 0
+
+
+def test_resume_mid_pipeline_recomputes_tail(spark, docs, tmp_path_factory):
+    import os
+
+    root = str(tmp_path_factory.mktemp("ckpt2"))
+    cfg = DedupConfig()
+    cat1 = CheckpointCatalog(root)
+    pipe1 = DedupPipeline(spark, cat1, cfg, with_substr=False)
+    full = pipe1.run(docs)
+    golden = sorted(map(tuple, cat1.read(spark, "clusters").collect()))
+
+    # "kill" after the minhash stage: drop downstream commits
+    for stage in ["candidates", "verified_pairs", "clusters", "dup_report"]:
+        os.remove(os.path.join(root, f"_{stage}_COMMIT.json"))
+
+    pipe2 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False)
+    second = pipe2.run(docs)
+    by_name = {s.name: s for s in second.stages}
+    assert by_name["exact_sigs"].skipped
+    assert by_name["minhash_sigs"].skipped
+    assert not by_name["candidates"].skipped
+    assert sorted(map(tuple, CheckpointCatalog(root).read(spark, "clusters").collect())) == golden
+
+
+def test_config_change_invalidates(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt3"))
+    pipe1 = DedupPipeline(spark, CheckpointCatalog(root), DedupConfig(), with_substr=False)
+    first = pipe1.run(docs)
+    # different shingle config → params_hash differs → stages recompute
+    cfg2 = DedupConfig(shingle_size=7, verify_threshold=0.7)
+    pipe2 = DedupPipeline(spark, CheckpointCatalog(root), cfg2, with_substr=False)
+    second = pipe2.run(docs)
+    assert not any(s.skipped for s in second.stages if s.name == "exact_sigs")
+    # stale incremental minhash data must be wiped, not reused: the stage
+    # recomputes the FULL frontier under the new params
+    by_name = {s.name: s for s in second.stages}
+    n_first = next(s.rows for s in first.stages if s.name == "minhash_sigs")
+    assert not by_name["minhash_sigs"].skipped
+    assert by_name["minhash_sigs"].rows == n_first  # full recompute, no stale rows
+
+
+def test_partial_minhash_append_resumes_incrementally(spark, docs, tmp_path_factory):
+    """Kill mid-minhash: half the urls already appended → resume appends
+    only the missing half (frontier anti-join) and totals match."""
+    from deduplicator_go_spark.operators import exact as X
+    from deduplicator_go_spark.operators.minhash import minhash_signatures
+
+    root = str(tmp_path_factory.mktemp("ckpt4"))
+    cfg = DedupConfig()
+    cat = CheckpointCatalog(root)
+    valid = X.valid_documents(docs)
+    half = valid.filter(F.abs(F.xxhash64("url")) % 2 == 0)
+    cat.incremental_begin("minhash_sigs", cfg.params_hash())
+    partial = minhash_signatures(half, cfg.shingle_size, cfg.num_perm, cfg.minhash_seed)
+    partial.write.mode("append").parquet(cat.table_path("minhash_sigs"))
+    n_half = cat.read(spark, "minhash_sigs").count()
+    # no commit marker → pipeline treats the stage as incomplete and resumes
+    pipe = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False)
+    report = pipe.run(docs)
+    by_name = {s.name: s for s in report.stages}
+    assert not by_name["minhash_sigs"].skipped
+    total = cat.read(spark, "minhash_sigs").count()
+    assert total == valid.count()
+    assert total > n_half
+    # and no url was double-signed
+    assert cat.read(spark, "minhash_sigs").select("url").distinct().count() == total
