@@ -1,0 +1,228 @@
+"""CLI verbs — the reference's command surface re-expressed over the
+Spark engine (reference dispatch: /root/reference/main.go:70-74 →
+cmd/app.go:32-207 → cmd/files.go).
+
+Verb parity (reference → here):
+  update       (files/process.go:19 stdin ingest)      → ingest
+  files find   (files/find.go:18 walk+catalog)         → ingest --walk
+  files hash   (files/hash.go:186 signature backfill)  → hash
+  files list-dupes (files/duplicates.go:9)             → list-dupes
+  files move-dupes (files/move.go:23)                  → move-dupes (plan)
+  files prune  (files/prune.go)                        → prune
+  files mirror (files/mirror.go)                       → mirror-check
+  (new) full near-dup pipeline                         → pipeline
+
+Every verb reads/writes parquet tables under a --catalog directory via
+the checkpoint catalog, so verbs compose and resume exactly like the
+reference's DB-backed commands. Actions are *plans* (data), not
+filesystem mutations — the Spark engine's action layer is a table a
+mover consumes (operators/actions.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(args) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark("deduplicator-cli", cores=args.cores)
+
+
+def _catalog(args):
+    from .sources.catalog import CheckpointCatalog
+
+    return CheckpointCatalog(args.catalog)
+
+
+def cmd_ingest(args) -> dict:
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .sources.readers import read_binary_files, read_listing_text, upsert
+
+    if args.walk:
+        incoming = read_binary_files(spark, args.input)
+    else:
+        listing = read_listing_text(spark, args.input)
+        incoming = listing.select(
+            "path", F.lit(None).cast("long").alias("size"),
+            F.current_timestamp().alias("mod_time"),
+            F.lit(None).cast("string").alias("hash"),
+        )
+    if cat.exists("catalog"):
+        stored = cat.read(spark, "catalog")
+        merged = upsert(stored, incoming, ["path"], ["size", "hash"])
+    else:
+        merged = incoming
+    info = cat.write(merged, "catalog", params_hash="ingest")
+    return {"verb": "ingest", "rows": info.rows}
+
+
+def cmd_hash(args) -> dict:
+    """Signature backfill over the documents table — incremental like the
+    reference's `hash IS NULL` queue, honoring --count batches."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .config import DedupConfig
+    from .operators.minhash import minhash_signatures
+    from .streaming.incremental import run_incremental
+
+    cfg = DedupConfig()
+    docs = spark.read.parquet(args.input)
+
+    def transform(batch):
+        from .operators.exact import with_signature
+
+        sha = with_signature(batch.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")))
+        mh = minhash_signatures(batch.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")),
+                                cfg.shingle_size, cfg.num_perm, cfg.minhash_seed)
+        return sha.join(mh, "url")
+
+    total = run_incremental(
+        spark, cat, "signatures",
+        docs, transform, key=args.id_col if args.id_col == "url" else "url",
+        params_hash=cfg.params_hash(), batch_limit=args.count,
+    )
+    return {"verb": "hash", "rows": total}
+
+
+def cmd_list_dupes(args) -> dict:
+    spark = _spark(args)
+    from .operators import exact
+
+    docs = spark.read.parquet(args.input)
+    sigs = exact.with_signature(
+        exact.valid_documents(
+            docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text"),
+                        *(["lang"] if "lang" in docs.columns else []))
+        )
+    )
+    groups = exact.top_groups(exact.dup_groups(sigs, min_size=args.min_size), limit=args.count)
+    members = exact.assemble_groups(exact.dup_members(sigs, groups))
+    rows = [r.asDict() for r in members.orderBy(F.desc("total_size"), "content_sha").collect()]
+    sav = exact.savings(exact.dup_groups(sigs, min_size=args.min_size)).collect()[0].asDict()
+    return {"verb": "list-dupes", "groups": len(rows), "savings": sav,
+            "sample": rows[: min(5, len(rows))]}
+
+
+def cmd_move_dupes(args) -> dict:
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators import actions, exact
+
+    docs = spark.read.parquet(args.input)
+    sigs = exact.with_signature(
+        exact.valid_documents(docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")))
+    )
+    members = exact.dup_members(sigs, exact.dup_groups(sigs, min_size=args.min_size))
+    elected = exact.elect_keeper_lexicographic(members)
+    plan = actions.plan_removals(elected, archive_prefix=args.exclude_prefix)
+    info = cat.write(plan, "move_plan", params_hash="move")
+    summary = actions.plan_summary(cat.read(spark, "move_plan")).collect()[0].asDict()
+    return {"verb": "move-dupes", "plan_rows": info.rows, **summary}
+
+
+def cmd_prune(args) -> dict:
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators.joins import prune_missing
+
+    stored = cat.read(spark, "catalog")
+    from .sources.readers import read_listing_text
+
+    live = read_listing_text(spark, args.input)
+    dead = prune_missing(stored, live, "path")
+    n_dead = dead.count()
+    if not args.dry_run:
+        remaining = stored.join(dead.select("path"), "path", "left_anti")
+        cat.write(remaining, "catalog", params_hash="prune")
+    return {"verb": "prune", "removed": n_dead, "dry_run": args.dry_run}
+
+
+def cmd_mirror_check(args) -> dict:
+    spark = _spark(args)
+    from .operators.joins import mirror_conflicts, mirror_missing
+
+    cat_df = spark.read.parquet(args.input)
+    hosts = cat_df.select(args.host_col).distinct()
+    missing = mirror_missing(cat_df, args.host_col, args.key_col, hosts)
+    conflicts = mirror_conflicts(cat_df, args.key_col, args.hash_col)
+    return {
+        "verb": "mirror-check",
+        "missing": missing.count(),
+        "conflicts": conflicts.count(),
+    }
+
+
+def cmd_pipeline(args) -> dict:
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .config import DedupConfig
+    from .plans.pipeline import DedupPipeline
+
+    docs = spark.read.parquet(args.input)
+    pipe = DedupPipeline(spark, cat, DedupConfig(), with_substr=not args.no_substr)
+    report = pipe.run(docs)
+    return {
+        "verb": "pipeline",
+        "run_id": report.run_id,
+        "docs_in": report.docs_in,
+        "wall_sec": round(report.wall_sec, 2),
+        "docs_per_sec": round(report.docs_per_sec(), 1),
+        "stages": {s.name: ("skip" if s.skipped else s.wall_ms) for s in report.stages},
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deduplicator_go_spark")
+    p.add_argument("--catalog", default="/tmp/dedup-catalog")
+    p.add_argument("--cores", default=None)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    s = sub.add_parser("ingest");  s.add_argument("--input", required=True)
+    s.add_argument("--walk", action="store_true"); s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("hash"); s.add_argument("--input", required=True)
+    s.add_argument("--count", type=int, default=None)
+    s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_hash)
+
+    s = sub.add_parser("list-dupes"); s.add_argument("--input", required=True)
+    s.add_argument("--count", type=int, default=None)
+    s.add_argument("--min-size", type=int, default=0)
+    s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_list_dupes)
+
+    s = sub.add_parser("move-dupes"); s.add_argument("--input", required=True)
+    s.add_argument("--min-size", type=int, default=0)
+    s.add_argument("--exclude-prefix", default=None)
+    s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_move_dupes)
+
+    s = sub.add_parser("prune"); s.add_argument("--input", required=True)
+    s.add_argument("--dry-run", action="store_true"); s.set_defaults(fn=cmd_prune)
+
+    s = sub.add_parser("mirror-check"); s.add_argument("--input", required=True)
+    s.add_argument("--host-col", default="host"); s.add_argument("--key-col", default="relpath")
+    s.add_argument("--hash-col", default="hash"); s.set_defaults(fn=cmd_mirror_check)
+
+    s = sub.add_parser("pipeline"); s.add_argument("--input", required=True)
+    s.add_argument("--no-substr", action="store_true"); s.set_defaults(fn=cmd_pipeline)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,7 +78,6 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """edges(src, dst) → assignments(url, cluster_id); singletons absent
     (callers left-join and coalesce to self-label).
     """
-    spark = edges.sparkSession
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
     prev_fp = None

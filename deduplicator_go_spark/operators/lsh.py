@@ -55,15 +55,26 @@ def candidate_pairs(
     band_df: DataFrame,
     band_pair_cap: int = 64,
     band_salt: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate edges (url_a < url_b, origin) from band buckets.
 
     Dedupes pairs discovered by multiple bands (distinct on the pair
     key) — at scale this distinct is the dominant shuffle and is
     exactly the work saved versus verifying per-band duplicates.
+
+    Plan shape: the band table feeds four consumers (bucket sizing,
+    both self-join sides, hot-bucket chains); without materialization
+    Spark re-derives it — re-exploding and re-hashing every signature
+    — once per consumer. ``materialize`` pins it once (localCheckpoint;
+    on a production run, write it to the stage catalog instead).
+    Bucket sizes come from a window over the same shuffle rather than
+    a groupBy+rejoin, saving a full extra shuffle of the band table.
     """
-    counts = band_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bn"))
-    tagged = band_df.join(counts, ["band_id", "band_hash"])
+    if materialize:
+        band_df = band_df.localCheckpoint(eager=True)
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    tagged = band_df.withColumn("bn", F.count("*").over(w_bucket))
 
     # --- small buckets: exact all-pairs self-join ---
     small = tagged.filter((F.col("bn") >= 2) & (F.col("bn") <= band_pair_cap)).select(

@@ -32,6 +32,71 @@ from pyspark.sql import types as T
 
 _BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier for rolling hash
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_BINV = np.uint64(pow(int(_BASE), -1, 1 << 64))  # modular inverse, mod 2^64
+
+# power tables grow geometrically and are shared per worker process —
+# recomputing them per call dominated the UDF cost before this cache
+_POW = np.array([1], dtype=np.uint64)
+_BINVP = np.array([1], dtype=np.uint64)
+
+
+def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(B^0..B^n, Binv^0..Binv^{n-1}) from the process-wide cache."""
+    global _POW, _BINVP
+    if len(_POW) <= n:
+        m = max(n + 1, 2 * len(_POW))
+        pw = np.empty(m, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(m - 1, _BASE, dtype=np.uint64), out=pw[1:])
+        bp = np.empty(m, dtype=np.uint64)
+        bp[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(m - 1, _BINV, dtype=np.uint64), out=bp[1:])
+        _POW, _BINVP = pw, bp
+    return _POW, _BINVP
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the rolling-hash structure."""
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+class PrefixHash:
+    """Polynomial prefix hashes of a text (mod 2^64); windowed k-gram
+    hashes for ANY k are then one vectorized pass — the LCS binary
+    search probes many k against the same prefix array.
+
+    P[i] = sum_{j<i} x[j] * B^(i-1-j) computed closed-form via scaled
+    prefix sums (odd B is invertible mod 2^64)."""
+
+    __slots__ = ("n", "prefix")
+
+    def __init__(self, text: str) -> None:
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(cps)
+        self.n = n
+        pw, bp = _power_tables(n)
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        if n:
+            scaled = cps * bp[:n]
+            np.add.accumulate(scaled, out=scaled)   # S[i] = Σ_{j<=i} x[j]·Binv^j
+            prefix[1:] = scaled * pw[:n]            # P[i+1] = B^i · S[i]
+        self.prefix = prefix
+
+    def window(self, k: int) -> np.ndarray:
+        """Mixed hashes of all k-grams; empty if text shorter than k."""
+        n = self.n
+        if n == 0 or k <= 0:
+            return np.empty(0, dtype=np.uint64)
+        k = min(k, n)
+        pw, _ = _power_tables(n)
+        h = self.prefix[k:] - self.prefix[: n + 1 - k] * pw[k]
+        return _mix(h)
 
 
 def _perm_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -45,41 +110,7 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     """Unique uint64 rolling hashes of all k-char shingles of ``text``."""
     if not text:
         return np.empty(0, dtype=np.uint64)
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    n = len(cps)
-    if n < k:
-        k = n
-    # prefix hash P[i] = x0*B^(i-1) + ... + x_{i-1}, mod 2^64
-    powers = np.empty(n + 1, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n, _BASE, dtype=np.uint64), out=powers[1:])
-    prefix = np.zeros(n + 1, dtype=np.uint64)
-    # P[i+1] = P[i]*B + x[i]  — computed closed-form: sum x[j]*B^(i-j)
-    # via scaled prefix sums: S[i] = sum_{j<i} x[j] * B^(-j) needs inverses;
-    # instead use the standard linear recurrence vectorized with Horner on
-    # blocks: here n is doc length (<= a few thousand), a python-level loop
-    # would be slow in the worst case, so use the identity
-    #   P[i] = sum_j x[j] * B^(i-1-j) = B^(i-1) * sum_j x[j] * Binv^j .
-    # 2^64 arithmetic has an inverse for odd B: Binv = B^-1 mod 2^64.
-    binv = pow(int(_BASE), -1, 1 << 64)
-    binv_pows = np.empty(n, dtype=np.uint64)
-    binv_pows[0] = np.uint64(1)
-    if n > 1:
-        np.multiply.accumulate(np.full(n - 1, np.uint64(binv), dtype=np.uint64), out=binv_pows[1:])
-    scaled = cps * binv_pows
-    np.add.accumulate(scaled, out=scaled)  # S[i] = sum_{j<=i} x[j]*Binv^j
-    prefix[1:] = scaled * powers[:n]       # P[i+1] = B^i * S[i]
-    # H[i] = P[i+k] - P[i] * B^k  (hash of shingle starting at i)
-    bk = powers[k]
-    h = prefix[k:] - prefix[: n + 1 - k] * bk  # H[i] = P[i+k] - P[i]*B^k, len n-k+1
-    # avalanche mix (splitmix64 finalizer) to decorrelate rolling structure
-    h = h + np.uint64(0x9E3779B97F4A7C15)
-    h ^= h >> np.uint64(30)
-    h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(27)
-    h *= np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
-    return np.unique(h)
+    return np.unique(PrefixHash(text).window(k))
 
 
 def _batch_minhash(texts: pd.Series, k: int, a: np.ndarray, b: np.ndarray) -> pd.Series:
@@ -101,12 +132,27 @@ def _batch_minhash(texts: pd.Series, k: int, a: np.ndarray, b: np.ndarray) -> pd
     return pd.Series(list(sigs))
 
 
+def cpu_partitions(df: DataFrame, factor: int = 1) -> int:
+    """Partition count for CPU-bound pandas-UDF stages.
+
+    AQE coalesces shuffle partitions by *bytes*, which is right for
+    IO-bound plans but starves CPU-bound Python stages (a 100 MB input
+    coalesced to 2 partitions runs the UDF on 2 cores). Partitioning
+    by core count keeps every core busy; factor stays at 1 because
+    each Python-UDF task pays a ~10 ms worker handshake serialized
+    through the single pyspark daemon — over-splitting adds latency
+    without adding parallelism (measured: 96 tasks 1.96s vs 32 tasks
+    1.34s for identical 20 core-s of work on 32 cores)."""
+    return max(df.sparkSession.sparkContext.defaultParallelism * factor, 4)
+
+
 def minhash_signatures(
     docs: DataFrame,
     shingle_size: int = 5,
     num_perm: int = 128,
     seed: int = 42,
     text_col: str = "text",
+    repartition: bool = True,
 ) -> DataFrame:
     """url + sig: array<bigint> of length num_perm (uint64 bit pattern)."""
     a, b = _perm_coeffs(num_perm, seed)
@@ -115,7 +161,10 @@ def minhash_signatures(
     def mh(texts: pd.Series) -> pd.Series:
         return _batch_minhash(texts, shingle_size, a, b)
 
-    return docs.select("url", mh(F.col(text_col)).alias("sig"))
+    src = docs.select("url", F.col(text_col).alias("__t"))
+    if repartition:
+        src = src.repartition(cpu_partitions(docs))
+    return src.select("url", mh(F.col("__t")).alias("sig"))
 
 
 def estimated_jaccard(sig_a, sig_b, num_perm: int):

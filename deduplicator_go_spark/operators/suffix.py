@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .lsh import candidate_pairs
-from .minhash import _BASE, _MASK
+from .minhash import PrefixHash
 
 
 def _gram_hash_positions(text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -43,34 +43,15 @@ def _gram_hash_positions(text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
     minhash.shingle_hashes but keeping positions and duplicates."""
     if not text or len(text) < k:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    n = len(cps)
-    powers = np.empty(n + 1, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n, _BASE, dtype=np.uint64), out=powers[1:])
-    binv = pow(int(_BASE), -1, 1 << 64)
-    binv_pows = np.empty(n, dtype=np.uint64)
-    binv_pows[0] = np.uint64(1)
-    if n > 1:
-        np.multiply.accumulate(np.full(n - 1, np.uint64(binv), dtype=np.uint64), out=binv_pows[1:])
-    scaled = cps * binv_pows
-    np.add.accumulate(scaled, out=scaled)
-    prefix = np.zeros(n + 1, dtype=np.uint64)
-    prefix[1:] = scaled * powers[:n]
-    h = prefix[k:] - prefix[: n + 1 - k] * powers[k]
-    # splitmix64 finalizer
-    h = h + np.uint64(0x9E3779B97F4A7C15)
-    h ^= h >> np.uint64(30)
-    h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(27)
-    h *= np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
-    return h, np.arange(n - k + 1, dtype=np.int64)
+    h = PrefixHash(text).window(k)
+    return h, np.arange(len(h), dtype=np.int64)
 
 
 def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "text") -> DataFrame:
     """(url, band_id=0, band_hash=anchor) — sampled k-gram hashes,
     shaped like an LSH band table so candidate_pairs() is reused."""
+
+    from .minhash import cpu_partitions
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def anchors(texts: pd.Series) -> pd.Series:
@@ -83,27 +64,32 @@ def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "t
         return pd.Series(out)
 
     return (
-        docs.select("url", anchors(F.col(text_col)).alias("a"))
+        docs.select("url", F.col(text_col).alias(text_col))
+        .repartition(cpu_partitions(docs))
+        .select("url", anchors(F.col(text_col)).alias("a"))
         .select("url", F.explode("a").alias("band_hash"))
         .withColumn("band_id", F.lit(0))
         .select("url", "band_id", "band_hash")
     )
 
 
-def _lcs_length(a: str, b: str, min_len: int, k_probe: int = 64) -> int:
+def _lcs_length(a: str, b: str, min_len: int) -> int:
     """Exact longest-common-substring length if >= min_len, else 0.
 
-    Binary search on L: a common L-gram exists iff hash sets
-    intersect AND a direct string comparison at matched offsets
-    confirms (collision-proof)."""
+    Binary search on L over shared PrefixHash arrays (each probe is
+    one vectorized windowed-diff pass, not a recompute): a common
+    L-gram exists iff hash sets intersect AND a direct string
+    comparison at matched offsets confirms (collision-proof)."""
+    pa_h = PrefixHash(a)
+    pb_h = PrefixHash(b)
 
     def common_at(L: int) -> bool:
-        ha, pa = _gram_hash_positions(a, L)
-        hb, pb = _gram_hash_positions(b, L)
-        if len(ha) == 0 or len(hb) == 0:
+        if len(a) < L or len(b) < L:
             return False
+        ha = pa_h.window(L)
+        hb = pb_h.window(L)
         common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-        for x, y in zip(pa[ia], pb[ib]):
+        for x, y in zip(ia, ib):
             if a[x : x + L] == b[y : y + L]:
                 return True
         return False
@@ -127,10 +113,13 @@ def verify_substr_pairs(
 ) -> DataFrame:
     """→ (url_a, url_b, lcs_len, has_block). Expensive stage — runs only
     on anchor-blocked candidates."""
+    from .minhash import cpu_partitions
+
     texts = docs.select("url", "text")
     joined = (
         pairs.join(texts.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
         .join(texts.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
+        .repartition(cpu_partitions(pairs))  # CPU-bound LCS: use all cores
     )
 
     @F.pandas_udf(T.LongType())

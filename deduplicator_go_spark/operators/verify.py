@@ -37,10 +37,21 @@ def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
 def exact_jaccard_udf(shingle_size: int):
     @F.pandas_udf(T.DoubleType())
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # docs recur across pairs (template chains, dup clusters):
+        # memoize shingle sets per distinct text within the batch
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(t: str) -> np.ndarray:
+            s = cache.get(t)
+            if s is None:
+                s = shingle_hashes(t, shingle_size)
+                cache[t] = s
+            return s
+
         out = np.empty(len(ta), dtype=np.float64)
         for i in range(len(ta)):
-            sa = shingle_hashes(ta.iloc[i] or "", shingle_size)
-            sb = shingle_hashes(tb.iloc[i] or "", shingle_size)
+            sa = sh(ta.iloc[i] or "")
+            sb = sh(tb.iloc[i] or "")
             if len(sa) == 0 and len(sb) == 0:
                 out[i] = 1.0
                 continue
@@ -56,13 +67,70 @@ def verify_pairs(
     docs: DataFrame,
     shingle_size: int = 5,
     threshold: float = 0.8,
+    sigs: DataFrame | None = None,
+    est_margin: float = 0.15,
 ) -> DataFrame:
-    """→ (url_a, url_b, origin, jaccard, is_dup)."""
+    """→ (url_a, url_b, origin, jaccard, is_dup, verify_tier).
+
+    Tiered verification when ``sigs`` (url, sig) is provided:
+    signature agreement (native zip_with — JVM-side, scales with the
+    shuffle) classifies clear cases, and only the borderline band
+    |est - threshold| < est_margin pays the exact shingle-Jaccard
+    pandas UDF. With 128 permutations the estimator's sd is
+    sqrt(j(1-j)/128) ≈ 0.035, so a 0.15 margin is > 4 sd — the
+    probability of tier-1 misclassifying a pair across the threshold
+    is < 1e-4 per pair, and every borderline pair is still decided by
+    the exact computation. ``verify_tier`` records which path decided
+    each pair ('est' or 'exact').
+
+    Without ``sigs``, every pair is exact-verified (tier 'exact').
+    """
+    from .minhash import cpu_partitions, estimated_jaccard
+
     jac = exact_jaccard_udf(shingle_size)
-    joined = attach_texts(pairs, docs)
-    return joined.select(
+
+    if sigs is None:
+        joined = attach_texts(pairs, docs).repartition(cpu_partitions(pairs))
+        return joined.select(
+            "url_a",
+            "url_b",
+            "origin",
+            jac(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        ).withColumn("is_dup", F.col("jaccard") >= F.lit(threshold)).withColumn(
+            "verify_tier", F.lit("exact")
+        )
+
+    num_perm = len(sigs.select("sig").first()["sig"])
+    s = sigs.select("url", "sig")
+    with_sigs = (
+        pairs.join(s.withColumnsRenamed({"url": "url_a", "sig": "sig_a"}), "url_a")
+        .join(s.withColumnsRenamed({"url": "url_b", "sig": "sig_b"}), "url_b")
+        .withColumn("est", estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm))
+        .drop("sig_a", "sig_b")
+    )
+    clear = with_sigs.filter(
+        (F.col("est") >= threshold + est_margin) | (F.col("est") < threshold - est_margin)
+    ).select(
         "url_a",
         "url_b",
         "origin",
-        jac(F.col("text_a"), F.col("text_b")).alias("jaccard"),
-    ).withColumn("is_dup", F.col("jaccard") >= F.lit(threshold))
+        F.round("est", 6).alias("jaccard"),
+        (F.col("est") >= threshold).alias("is_dup"),
+        F.lit("est").alias("verify_tier"),
+    )
+    borderline = with_sigs.filter(
+        (F.col("est") < threshold + est_margin) & (F.col("est") >= threshold - est_margin)
+    ).select("url_a", "url_b", "origin")
+    exact = (
+        attach_texts(borderline, docs)
+        .repartition(cpu_partitions(borderline))
+        .select(
+            "url_a",
+            "url_b",
+            "origin",
+            jac(F.col("text_a"), F.col("text_b")).alias("jaccard"),
+        )
+        .withColumn("is_dup", F.col("jaccard") >= F.lit(threshold))
+        .withColumn("verify_tier", F.lit("exact"))
+    )
+    return clear.unionByName(exact)

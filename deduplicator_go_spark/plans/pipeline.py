@@ -132,7 +132,11 @@ class DedupPipeline:
             self._stage(
                 "verified_pairs",
                 lambda: verify_pairs(
-                    self._read("candidates"), valid, c.shingle_size, c.verify_threshold
+                    self._read("candidates"),
+                    valid,
+                    c.shingle_size,
+                    c.verify_threshold,
+                    sigs=self._read("minhash_sigs"),
                 ),
             )
         )
@@ -175,8 +179,18 @@ class DedupPipeline:
                 .agg(F.count("*").alias("n_members"))
                 .filter(F.col("n_members") > 1)
             )
+            # membership arrays capped BEFORE aggregation (row_number, not
+            # post-hoc slice): a viral-boilerplate cluster at 10^12-doc
+            # scale would otherwise build one multi-GB row. Full
+            # membership stays queryable in the clusters table.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("cluster_id").orderBy("url")
+            capped = clusters.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") <= 1000
+            )
             return (
-                clusters.join(sizes, "cluster_id")
+                capped.join(sizes, "cluster_id")
                 .groupBy("cluster_id", "n_members")
                 .agg(F.sort_array(F.collect_list("url")).alias("urls"))
             )

@@ -33,6 +33,16 @@ def get_spark(
             n = int(cores)
         shuffle_partitions = max(8, n)
 
+    # local-mode shuffles go through spark.local.dir on the driver host;
+    # tmpfs removes the shared-disk bottleneck (opt out: SPARK_GRAFT_TMPFS=0)
+    local_dir = None
+    if os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+        except OSError:
+            local_dir = None
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -49,6 +59,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

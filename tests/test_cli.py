@@ -1,0 +1,84 @@
+"""CLI verb parity — each reference command verb drives the engine
+end-to-end through the argparse surface."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from deduplicator_go_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli-docs")
+    p = str(d / "documents.parquet")
+    corpus.documents.drop(columns=["kind"]).to_parquet(
+        p, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    return p
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_list_dupes(capsys, docs_parquet, tmp_path):
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "list-dupes", "--input", docs_parquet])
+    assert out["groups"] == 18
+    assert out["savings"]["n_groups"] == 18
+    assert len(out["sample"]) == 5
+
+
+def test_cli_move_dupes_plan(capsys, docs_parquet, tmp_path):
+    cat = str(tmp_path / "cat")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "move-dupes", "--input", docs_parquet])
+    assert out["n_keepers"] == 18
+    assert out["n_removals"] == 59 - 18
+    assert os.path.exists(os.path.join(cat, "move_plan"))
+
+
+def test_cli_ingest_prune_roundtrip(capsys, tmp_path):
+    cat = str(tmp_path / "cat")
+    listing = tmp_path / "listing.txt"
+    listing.write_text("/a/x\n/a/y\n/a/z\n")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "ingest", "--input", str(listing)])
+    assert out["rows"] == 3
+    # shrink the live listing; prune removes the dead row
+    listing2 = tmp_path / "listing2.txt"
+    listing2.write_text("/a/x\n/a/y\n")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "prune", "--input", str(listing2), "--dry-run"])
+    assert out["removed"] == 1 and out["dry_run"]
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "prune", "--input", str(listing2)])
+    assert out["removed"] == 1
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "prune", "--input", str(listing2), "--dry-run"])
+    assert out["removed"] == 0
+
+
+def test_cli_mirror_check(capsys, spark, tmp_path):
+    p = str(tmp_path / "cat.parquet")
+    spark.createDataFrame(
+        [("h1", "p1", "x"), ("h2", "p1", "x"), ("h1", "p2", "y"),
+         ("h1", "p3", "a"), ("h2", "p3", "b")],
+        "host string, relpath string, hash string",
+    ).write.parquet(p)
+    out = _run(capsys, ["--cores", "8", "mirror-check", "--input", p])
+    assert out["missing"] == 1   # p2 missing on h2
+    assert out["conflicts"] == 1  # p3 hash divergence
+
+
+def test_cli_hash_incremental_batches(capsys, docs_parquet, tmp_path):
+    cat = str(tmp_path / "cat")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "hash", "--input", docs_parquet, "--count", "250"])
+    assert out["rows"] == 600  # drained in 3 batches

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
-
 from deduplicator_go_spark.operators import joins, multimodal, ngram, similarity, simhash
 
 
