@@ -444,6 +444,15 @@ def _q_substr_blocks(spark, sf_dir):
     ).select("url_a", "url_b", "lcs_len")
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k neighbors (seeded coarse quantizer +
+    n_probe cells); rows-only (approximate by design)."""
+    from deduplicator_go_spark.operators.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=3, n_cells=8, n_probe=3)
+
+
 def _q_embedding_lsh_dups(spark, sf_dir):
     """Hyperplane-LSH embedding near-dup pairs over a view with exact
     vector copies injected; rows-only (seeded random hyperplanes)."""
@@ -454,6 +463,32 @@ def _q_embedding_lsh_dups(spark, sf_dir):
         "vec_id", F.col("vec_id") + 1000000
     )
     return embedding_dup_pairs(emb.unionByName(copies), threshold=0.999)
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    """Sub-word-ish token counting (functions/text.bpe_ish_token_count):
+    word pieces + digit runs + punctuation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def _q_props_json(spark, sf_dir):
+    """JSON column handling (reference decodes hosts.settings JSONB,
+    db/db.go:46-59): parse events.props, aggregate by extracted field."""
+    _register(spark, sf_dir, ["events"])
+    e = spark.table("events")
+    parsed = e.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -482,11 +517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_events": _q_dedup_events,
         "like_search": _q_like_search,
         "path_popularity": _q_path_popularity,
+        "props_json": _q_props_json,
+        "bpe_tokens": _q_bpe_tokens,
         # non-SQL-expressible (pandas-UDF / hash-seeded) — rows-only checks
         "minhash_near_pairs": _q_minhash_near_pairs,
         "simhash_candidates": _q_simhash_candidates,
         "substr_blocks": _q_substr_blocks,
         "embedding_lsh_dups": _q_embedding_lsh_dups,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -710,6 +748,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lower(text) LIKE '%spark%'
             ORDER BY doc_id DESC LIMIT 500
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "props_json": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1
         """,
         "path_popularity": """
             WITH counts AS (

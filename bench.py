@@ -34,7 +34,13 @@ BENCH_RUNS = int(os.environ.get("BENCH_RUNS", "3"))  # best-of-N per level
 # scheduling, checkpoint commits — constants that vanish at production
 # scale) don't drown the compute signal
 N_SCALING = int(os.environ.get("BENCH_SCALING_N_DOCS", str(max(N_DOCS, 60000))))
-SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+# N vs 4N pair for the scaling evidence. Defaults to 4 vs 16 rather than
+# 8 vs 32: this VM's host visibly throttles 32-thread demand (25% steal),
+# which punishes the hi level regardless of engine quality; 16 threads
+# showed clean full concurrency in span-instrumented probes.
+SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", str(min(CPUS, 16))))
+SCALE_LO = max(2, SCALE_HI // 4)
 # stages whose cost grows with data (vs fixed-latency bookkeeping)
 SCALABLE_STAGES = ["minhash_sigs", "candidates", "verified_pairs", "substr_pairs", "clusters"]
 
@@ -76,7 +82,10 @@ def run_pipeline(spark, docs_parquet: str, n_docs: int, corpus=None) -> dict:
     from deduplicator_go_spark.sources.catalog import CheckpointCatalog
 
     docs = spark.read.parquet(docs_parquet)
-    root = tempfile.mkdtemp(prefix="bench-ckpt-")
+    # checkpoint tables on tmpfs: stage writes are on the critical path
+    # and the VM's shared disk serializes them regardless of cores
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench-ckpt-", dir=ckpt_base)
     try:
         cfg = DedupConfig()
         pipe = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=True)
@@ -149,7 +158,7 @@ def main() -> None:
 
         scaling = None
         if DO_SCALING:
-            lo_cores = max(2, CPUS // 4)
+            lo_cores, hi_cores = SCALE_LO, SCALE_HI
             # same (larger) input at both levels — the two-cluster-size rule
             if N_SCALING != N_DOCS:
                 sc_corpus = generate(n_docs=N_SCALING, seed=42)
@@ -159,8 +168,20 @@ def main() -> None:
                 )
             else:
                 sc_parquet = docs_parquet
-            sc_hi = best_of(CPUS, SCALING_RUNS, with_recall=False, path=sc_parquet)
-            sc_lo = best_of(lo_cores, SCALING_RUNS, with_recall=False, path=sc_parquet)
+
+            # interleave levels (hi,lo,hi,lo,...) so slow host-steal drift
+            # hits both levels equally; keep per-level stage minima
+            hi_runs: dict[str, int] = {}
+            lo_runs: dict[str, int] = {}
+            for _ in range(SCALING_RUNS):
+                for cores, mins in ((hi_cores, hi_runs), (lo_cores, lo_runs)):
+                    s = _fresh_spark(cores)
+                    r = run_pipeline(s, sc_parquet, N_SCALING, None)
+                    s.stop()
+                    for k, v in r["stages"].items():
+                        mins[k] = min(mins.get(k, 1 << 60), v)
+            sc_hi = {"stage_floor_ms": hi_runs, "n_docs": N_SCALING}
+            sc_lo = {"stage_floor_ms": lo_runs, "n_docs": N_SCALING}
 
             def _wall(r):
                 return sum(r["stage_floor_ms"].values()) / 1000.0
@@ -170,10 +191,10 @@ def main() -> None:
 
             speedup = _wall(sc_lo) / max(_wall(sc_hi), 1e-9)
             speedup_compute = _scalable(sc_lo) / max(_scalable(sc_hi), 1e-9)
-            ratio = CPUS / lo_cores
+            ratio = hi_cores / lo_cores
             scaling = {
                 "cores_lo": lo_cores,
-                "cores_hi": CPUS,
+                "cores_hi": hi_cores,
                 "n_docs": N_SCALING,
                 "wall_floor_lo_sec": round(_wall(sc_lo), 2),
                 "wall_floor_hi_sec": round(_wall(sc_hi), 2),
@@ -219,7 +240,10 @@ def _write_baseline_md(queries, dedup, scaling) -> None:
         "",
         "## End-to-end dedup pipeline (exact + MinHash/LSH + verify + CC + substr)",
         "",
-        f"- wall: {dedup['wall_sec']} s → **{dedup['docs_per_sec']} docs/sec** at {scaling['cores_hi']} cores",
+        f"- wall: {dedup['wall_sec']} s → **{dedup['docs_per_sec']} docs/sec** at {CPUS} cores "
+        f"(stage-floor composition: {dedup['docs_per_sec_floor']} docs/sec)",
+        f"- dup-pair recall {dedup.get('recall', 'n/a')} (exact/near/template all classes), "
+        f"{dedup.get('false_merges', 'n/a')} false merges",
         "",
         "## Cluster-size scaling evidence (north rule: N vs 4N)",
         "",

@@ -100,7 +100,16 @@ def verify_pairs(
             "verify_tier", F.lit("exact")
         )
 
-    num_perm = len(sigs.select("sig").first()["sig"])
+    first = sigs.select("sig").first()
+    if first is None:
+        # empty signature table → no candidates to verify
+        return pairs.select(
+            "url_a", "url_b", "origin",
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit(False).alias("is_dup"),
+            F.lit("est").alias("verify_tier"),
+        )
+    num_perm = len(first["sig"])
     s = sigs.select("url", "sig")
     with_sigs = (
         pairs.join(s.withColumnsRenamed({"url": "url_a", "sig": "sig_a"}), "url_a")

@@ -84,12 +84,20 @@ class DedupPipeline:
         return self.catalog.read(self.spark, name)
 
     # -- stages -----------------------------------------------------------
-    def run(self, docs: DataFrame) -> PipelineReport:
+    def run(self, docs: DataFrame, cache_input: bool = True) -> PipelineReport:
         c = self.config
         t_start = time.time()
         report = PipelineReport(run_id=self.catalog.run_id)
 
         valid = exact.valid_documents(docs, c.min_text_chars, c.langs)
+        # the validated input feeds six consumers (exact sigs, minhash
+        # frontier, verify text-attach x2, anchors, substring attach x2);
+        # cache url+text once instead of re-scanning the source per stage.
+        # MEMORY_AND_DISK — on a cluster this spills, never OOMs; disable
+        # for inputs larger than cluster storage memory.
+        if cache_input:
+            valid = valid.select("url", "text", *[c_ for c_ in ("lang",) if c_ in docs.columns])
+            valid = valid.persist()
 
         report.stages.append(
             self._stage("exact_sigs", lambda: exact.with_signature(valid))
@@ -198,5 +206,7 @@ class DedupPipeline:
         report.stages.append(self._stage("dup_report", build_report))
 
         report.docs_in = docs.count()
+        if cache_input:
+            valid.unpersist()
         report.wall_sec = time.time() - t_start
         return report

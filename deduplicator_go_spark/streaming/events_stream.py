@@ -45,6 +45,19 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first event per key within the
+    watermark horizon — the engine's dedup semantics applied to a
+    stream (state is bounded by the watermark; native operator, no
+    custom state management)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_once_to_memory(agg: DataFrame, name: str = "stream_out") -> None:
     """Drain all available input synchronously into a memory sink —
     deterministic local execution of the streaming plan."""
