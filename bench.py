@@ -280,6 +280,10 @@ def _write_baseline_md(queries, dedup, scaling) -> None:
         "driver-side data path, map-side partial aggs, count-based UDF",
         "partitioning) are asserted by tests instead (see SCALE.md).",
         "",
+        "One-off measured evidence (scale curve, kill -9 resume drive,",
+        "environment calibration) lives in BENCH/EVIDENCE.md — this file is",
+        "regenerated by bench.py each run.",
+        "",
         "## Headline query times (sf dir: %s)" % SF_DIR,
         "",
         "| query | sec |",

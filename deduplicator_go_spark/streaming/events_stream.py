@@ -58,6 +58,64 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+SESSION_STATE_SCHEMA = "n_events long, total_value double, session_start_us long"
+SESSION_OUT_SCHEMA = "user_id long, n_events long, total_value double, session_start timestamp"
+
+
+def stateful_user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count / value total, emitting a changelog
+    row per key per micro-batch.
+
+    This is the engine's escape hatch for stateful semantics that
+    watermarked windows can't express; state per key is one small
+    tuple. ``timeout_ms`` enables processing-time state expiry for
+    continuous deployments; leave None for drain-style (availableNow)
+    runs — an armed processing-time timeout keeps the availableNow
+    trigger alive waiting for expirations and the query never
+    terminates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        n, total, start_us = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            first_us = int(pd.Timestamp(pdf["ts"].min()).value // 1000)
+            start_us = first_us if start_us is None else min(start_us, first_us)
+        state.update((n, total, start_us))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "session_start": [pd.Timestamp(start_us * 1000)],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def run_once_to_memory(agg: DataFrame, name: str = "stream_out") -> None:
     """Drain all available input synchronously into a memory sink —
     deterministic local execution of the streaming plan."""
