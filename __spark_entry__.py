@@ -631,10 +631,17 @@ def oracle_sql() -> dict[str, str]:
                      string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
               FROM base
             ),
-            grams AS (
+            all_grams AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
               FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) ii
               WHERE len(t) >= 3
+            ),
+            hot AS (
+              SELECT gram FROM all_grams GROUP BY 1 HAVING count(*) > 256
+            ),
+            grams AS (
+              SELECT g.doc_id, g.gram FROM all_grams g
+              ANTI JOIN hot h ON g.gram = h.gram
             ),
             sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
             inter AS (

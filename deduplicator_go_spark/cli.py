@@ -74,19 +74,23 @@ def cmd_hash(args) -> dict:
     from .streaming.incremental import run_incremental
 
     cfg = DedupConfig()
-    docs = spark.read.parquet(args.input)
+    # Normalize to (url, text) once, so the frontier anti-join, the
+    # committed table, and any resumed run all share the key name
+    # regardless of --id-col/--text-col.
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")
+    )
 
     def transform(batch):
         from .operators.exact import with_signature
 
-        sha = with_signature(batch.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")))
-        mh = minhash_signatures(batch.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")),
-                                cfg.shingle_size, cfg.num_perm, cfg.minhash_seed)
+        sha = with_signature(batch)
+        mh = minhash_signatures(batch, cfg.shingle_size, cfg.num_perm, cfg.minhash_seed)
         return sha.join(mh, "url")
 
     total = run_incremental(
         spark, cat, "signatures",
-        docs, transform, key=args.id_col if args.id_col == "url" else "url",
+        docs, transform, key="url",
         params_hash=cfg.params_hash(), batch_limit=args.count,
     )
     return {"verb": "hash", "rows": total}

@@ -46,12 +46,15 @@ def pair_recall(
         count(k, a, b)
 
     # template class: all C(n,2) pairs within each truth cluster that is
-    # not already covered by explicit exact pairs — count via label groups
-    exact_urls = set(truth_pairs.loc[truth_pairs["kind"] == "exact", "url_a"]) | set(
-        truth_pairs.loc[truth_pairs["kind"] == "exact", "url_b"]
+    # not already covered by an explicit truth pair of ANY kind — count
+    # via label groups.  Excluding only exact-pair urls would double-count
+    # near pairs (once as 'near', again as 'template') and pull
+    # sub-threshold near pairs into the denominator.
+    paired_urls = set(truth_pairs.loc[truth_pairs["kind"] != "negative", "url_a"]) | set(
+        truth_pairs.loc[truth_pairs["kind"] != "negative", "url_b"]
     )
     for cid, grp in truth_clusters.groupby("cluster_id"):
-        urls = [u for u in grp["url"] if u not in exact_urls]
+        urls = [u for u in grp["url"] if u not in paired_urls]
         if len(urls) < 2:
             continue
         n = len(urls)

@@ -121,7 +121,8 @@ def candidate_pairs(
 
     edges = reduce(DataFrame.unionByName, [pair_edges, chain_sub, chain_rep])
     # a pair may be found by many bands; keep one row ('pair' wins over
-    # 'chain' so verification stats stay meaningful)
+    # 'chain' so verification stats stay meaningful).  max() because
+    # 'pair' > 'chain' lexicographically.
     return (
-        edges.groupBy("url_a", "url_b").agg(F.min("origin").alias("origin"))
+        edges.groupBy("url_a", "url_b").agg(F.max("origin").alias("origin"))
     )

@@ -37,14 +37,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "url",
     text_col: str = "text",
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
-    """All pairs with n-gram Jaccard >= threshold.
+    """All pairs with n-gram Jaccard >= threshold over the gram universe
+    with document frequency <= ``max_doc_freq``.
 
-    Shuffle shape: explode → shuffle on gram (hot grams are the skew
-    risk; at scale, filter stop-grams by document frequency first) →
-    pair counts → join per-doc totals → Jaccard.
+    Hot-gram skew control: a gram shared by m docs contributes C(m,2)
+    rows to the self-join — one viral trigram makes a single O(n²)
+    shuffle key that AQE cannot split (self-join). Grams with
+    doc_freq > max_doc_freq are dropped from the universe *before* the
+    join (both the intersection AND the per-doc totals, so Jaccard
+    stays exact over the filtered universe — well-defined semantics the
+    DuckDB oracle mirrors verbatim). The hot-gram list is tiny (only
+    grams above the cap) and broadcast for the anti-join.
+
+    Shuffle shape: explode → gram df agg → broadcast anti-join →
+    pair counts (every key now bounded by C(cap,2)) → join per-doc
+    totals → Jaccard. ``max_doc_freq=None`` disables the cap.
     """
     grams = word_ngrams(docs, n, id_col, text_col)
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")

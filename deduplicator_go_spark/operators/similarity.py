@@ -37,26 +37,39 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+BRUTE_FORCE_MAX_ROWS = 2_000_000  # ~2M x 128 float64 ≈ 2 GiB driver matrix
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors per vector by cosine (self-pairs excluded).
 
     → (id_a, id_b, cos, rank).
 
-    Physical shape: the reference matrix (all vectors) is broadcast to
-    every task; each Arrow batch of query vectors does one numpy
-    matmul against it and emits its top-k. This is the correct Spark
-    plan for exact search against a broadcastable reference set — a
-    crossJoin with per-row expression dot products is ~50x slower (one
-    JVM aggregate per pair instead of one BLAS call per batch).
-    For reference sets too big to broadcast, use lsh_topk.
+    **Bounded exact baseline** — the reference matrix (all vectors) is
+    collected to the driver and broadcast, so this path is fenced to
+    reference sets that fit driver memory (``max_rows`` guard; raises
+    with a pointer to the scale paths). It exists as the recall oracle
+    for ``lsh_topk``/``ivf_topk``; those are the 100 TB paths.
+
+    Physical shape for what it covers: each Arrow batch of query
+    vectors does one numpy matmul against the broadcast matrix — a
+    crossJoin with per-row expression dot products is ~50x slower.
     """
     from .minhash import cpu_partitions
 
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute_force_topk is the bounded exact baseline: {n} rows > "
+            f"max_rows={max_rows} would collect the full table to the "
+            "driver. Use lsh_topk or ivf_topk for large reference sets."
+        )
     pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
     ids = pdf["id"].to_numpy()
     mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
@@ -64,7 +77,8 @@ def brute_force_topk(
     sc = emb.sparkSession.sparkContext
     b_ref = sc.broadcast((ids, mat, norms))
 
-    out_schema = f"id_a {'long' if 'int' in str(pdf['id'].dtype) else 'string'}, id_b long, cos double, rank int"
+    id_type = "long" if "int" in str(pdf["id"].dtype) else "string"
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double, rank int"
 
     def topk_batches(it):
         r_ids, r_mat, r_norms = b_ref.value

@@ -80,6 +80,21 @@ class CheckpointCatalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.table_path(name))
 
+    def table_rows(self, name: str) -> int:
+        """Row count from parquet footers — metadata only, no scan job.
+        Prefers the commit marker (already totalled); falls back to
+        footers for a table whose marker was lost to a mid-write kill."""
+        info = self.commit_info(name)
+        if info is not None:
+            return info.rows
+        if not self.exists(name):
+            return 0
+        ds = pads.dataset(self.table_path(name), format="parquet")
+        return sum(
+            (f.metadata.num_rows if getattr(f, "metadata", None) is not None else f.count_rows())
+            for f in ds.get_fragments()
+        )
+
     def drop(self, name: str) -> None:
         path = self.table_path(name)
         if os.path.exists(path):

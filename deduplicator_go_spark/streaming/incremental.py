@@ -61,19 +61,28 @@ def run_incremental(
     max_ticks: int = 1_000_000,
 ) -> int:
     """Drive ``transform`` over the frontier until drained (the systemd
-    re-run loop collapsed into a driver loop).  Returns rows appended."""
-    total = 0
-    catalog.incremental_begin(table, params_hash)
+    re-run loop collapsed into a driver loop).  Returns rows appended
+    across all ticks of this call.
+
+    Termination is derived from lineage (rows after minus rows before
+    each commit) — no extra ``batch.count()`` job recomputing the
+    frontier plan per tick, and a transform that filters every frontier
+    row (appended == 0) ends the loop instead of spinning to max_ticks.
+    """
+    catalog.incremental_begin(table, params_hash)  # may wipe on params change
+    before = catalog.table_rows(table)
+    appended_total = 0
     for _ in range(max_ticks):
         done = catalog.read(spark, table) if catalog.exists(table) else None
         batch = frontier(inputs, done, key, limit=batch_limit)
         out = transform(batch)
         info = catalog.write(out, table, params_hash, mode="append")
-        total = info.rows
-        n_batch = batch.count() if batch_limit is not None else None
-        if batch_limit is None or (n_batch or 0) < batch_limit:
+        appended = info.rows - before
+        before = info.rows
+        appended_total += appended
+        if batch_limit is None or appended <= 0 or appended < batch_limit:
             break
-    return total
+    return appended_total
 
 
 def staleness_filter(

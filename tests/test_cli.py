@@ -82,3 +82,21 @@ def test_cli_hash_incremental_batches(capsys, docs_parquet, tmp_path):
     out = _run(capsys, ["--catalog", cat, "--cores", "8",
                         "hash", "--input", docs_parquet, "--count", "250"])
     assert out["rows"] == 600  # drained in 3 batches
+
+
+def test_cli_hash_custom_id_col(capsys, corpus, tmp_path):
+    """--id-col other than 'url' must survive multi-batch frontier
+    anti-joins and resume (regression: the key was hardcoded to 'url'
+    while the input kept its original column name)."""
+    p = str(tmp_path / "renamed.parquet")
+    corpus.documents.drop(columns=["kind"]).rename(columns={"url": "doc_id"}).to_parquet(
+        p, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    cat = str(tmp_path / "cat")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "hash", "--input", p, "--id-col", "doc_id", "--count", "250"])
+    assert out["rows"] == 600
+    # resumed run over the same input: frontier fully drained, 0 appended
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "hash", "--input", p, "--id-col", "doc_id", "--count", "250"])
+    assert out["rows"] == 0

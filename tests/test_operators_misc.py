@@ -59,6 +59,32 @@ def test_ngram_jaccard_pairs(spark):
     assert abs(r["jaccard"] - 9 / 11) < 1e-6
 
 
+def test_ngram_viral_gram_capped(spark):
+    """A viral trigram shared by every doc must not explode into O(n^2)
+    join rows: with max_doc_freq below the corpus size it is dropped
+    from the gram universe, so unrelated docs produce zero pairs while
+    true dups (sharing rare grams too) still pair."""
+    viral = "click here now"
+    rows = [(f"d{i:03d}", f"{viral} unique{i} words{i} here{i} tail{i}") for i in range(50)]
+    # one true dup pair sharing all their rare grams
+    rows.append(("dup_a", f"{viral} same rare content shared fully end"))
+    rows.append(("dup_b", f"{viral} same rare content shared fully end"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = ngram.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_doc_freq=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("dup_a", "dup_b")]
+    # and the intersection count itself is bounded: no pair row carries
+    # the viral gram (na excludes it)
+    assert got[0]["na"] < 10  # far fewer grams than raw trigram count
+
+    # uncapped, the same corpus pairs every doc with every doc via the
+    # viral gram at the join level (the skew the cap prevents); sanity:
+    # capped plan's pre-threshold pair count is exactly 1
+    grams = ngram.word_ngrams(df, 3)
+    from pyspark.sql import functions as F
+    hot_df = grams.groupBy("gram").agg(F.count("*").alias("df")).filter("df > 10")
+    assert hot_df.count() == 1  # only the viral trigram is dropped
+
+
 # --------------------------------------------------------------------------
 # embedding similarity
 # --------------------------------------------------------------------------
@@ -81,6 +107,19 @@ def test_brute_force_topk(emb):
         by_a.setdefault(r["id_a"], []).append((r["rank"], r["id_b"], r["cos"]))
     assert sorted(x[1] for x in by_a[0]) == [1, 2]
     assert all(len(v) == 2 for v in by_a.values())
+
+
+def test_brute_force_fenced_to_bounded_inputs(emb):
+    with pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+        similarity.brute_force_topk(emb, k=2, max_rows=10)
+
+
+def test_brute_force_string_ids(spark, emb):
+    """id_b schema must follow the inferred id type (regression: it was
+    hardcoded long, breaking string-id inputs at Arrow conversion)."""
+    s = emb.selectExpr("concat('v', vec_id) AS vec_id", "embedding")
+    top = similarity.brute_force_topk(s, k=1).collect()
+    assert all(isinstance(r["id_a"], str) and isinstance(r["id_b"], str) for r in top)
 
 
 def test_lsh_topk_agrees_on_near_duplicates(emb):
