@@ -465,6 +465,75 @@ def _q_embedding_lsh_dups(spark, sf_dir):
     return embedding_dup_pairs(emb.unionByName(copies), threshold=0.999)
 
 
+def _ann_eval_view(spark, sf_dir):
+    """embeddings ∪ three deterministically-jittered copies per vector.
+
+    The driver's synthetic embeddings are isotropic-random (median
+    pairwise cos ≈ 0, top-3 cos ≈ 0.25–0.51), so exact top-k on the raw
+    table is noise — no ANN method (or meaningful recall target) exists
+    for data without neighbor structure. The recall gate therefore
+    plants structure: copy j of vector v adds a per-component
+    pseudo-random offset in [-0.1, 0.1] (xxhash64-seeded, fully
+    deterministic), giving cos(v, copy) ≈ 0.998 — each vector's true
+    top-3 is exactly its three copies, and recall@3 measures whether
+    the approximate path finds genuinely-similar items.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(j * 1000000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.pmod(F.xxhash64(F.col("vec_id") + F.lit(j * 1000000), i), F.lit(1000))
+                   / 1000.0 - 0.5) * 0.2,
+            ).alias("embedding"),
+        )
+        for j in (1, 2, 3)
+    ]
+    out = emb
+    for c in copies:
+        out = out.unionByName(c)
+    return out
+
+
+def _ann_recall_gate(spark, sf_dir, path_name):
+    """recall@3 of the approximate path vs the exact baseline on the
+    planted-neighbor view → one row (path, n_queries, recall_ok)."""
+    from deduplicator_go_spark.operators.ivf import ivf_topk
+
+    view = _ann_eval_view(spark, sf_dir)
+    exact = similarity.brute_force_topk(view, k=3).select("id_a", "id_b")
+    if path_name == "lsh":
+        # 8 OR-bands of 4 bits: same per-band selectivity as the default
+        # config, more independent chances — measured 0.993 recall@3 on
+        # the planted view (16x4 sits at 0.925, under the gate)
+        approx = similarity.lsh_topk(view, k=3, n_bits=32, n_bands=8).select("id_a", "id_b")
+    else:
+        approx = ivf_topk(view, k=3, n_cells=8, n_probe=3).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["id_a", "id_b"]).count()
+    recall = n_hit / n_exact if n_exact else 1.0
+    return spark.createDataFrame(
+        [(path_name, n_exact // 3, recall >= 0.95)],
+        "path string, n_queries long, recall_ok boolean",
+    )
+
+
+def _q_lsh_recall(spark, sf_dir):
+    """Recall gate for the hyperplane-LSH ANN scale path (recall@3 vs the
+    brute-force oracle on the planted-neighbor view; gate = >= 0.95)."""
+    return _ann_recall_gate(spark, sf_dir, "lsh")
+
+
+def _q_ivf_recall(spark, sf_dir):
+    """Recall gate for the IVF ANN scale path (recall@3 vs the
+    brute-force oracle on the planted-neighbor view; gate = >= 0.95)."""
+    return _ann_recall_gate(spark, sf_dir, "ivf")
+
+
 def _q_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token counting (functions/text.bpe_ish_token_count):
     word pieces + digit runs + punctuation."""
@@ -519,10 +588,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_popularity": _q_path_popularity,
         "props_json": _q_props_json,
         "bpe_tokens": _q_bpe_tokens,
-        # non-SQL-expressible (pandas-UDF / hash-seeded) — rows-only checks
+        "lsh_recall": _q_lsh_recall,
+        "ivf_recall": _q_ivf_recall,
+        # value-checked against exact DuckDB truth (all-pairs shingle
+        # Jaccard / diagonal-run LCS) — the approximate path must equal
+        # the exact answer at this scale (recall 1.0)
         "minhash_near_pairs": _q_minhash_near_pairs,
-        "simhash_candidates": _q_simhash_candidates,
         "substr_blocks": _q_substr_blocks,
+        # non-SQL-expressible (hash-seeded buckets) — rows-only checks
+        "simhash_candidates": _q_simhash_candidates,
         "embedding_lsh_dups": _q_embedding_lsh_dups,
         "ivf_topk": _q_ivf_topk,
     }
@@ -766,6 +840,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY 1
+        """,
+        # Exact truth for the MinHash/LSH surface: DuckDB computes the
+        # full all-pairs character-shingle Jaccard (distinct 5-char
+        # substrings == the rolling-hash shingle sets, collision-free at
+        # 64 bits) over the same injected-near-dup view. The Spark path
+        # (MinHash sigs → banded LSH → exact verify) must return exactly
+        # this set — i.e. recall 1.0 at this scale, value-checked.
+        "minhash_near_pairs": """
+            WITH view_docs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 2000000 AS VARCHAR), text || ' xtra token tail'
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            sets AS (
+              SELECT url, list_distinct([substring(text, i, 5)
+                         FOR i IN range(1, greatest(length(text) - 3, 1))]) AS sh
+              FROM view_docs
+            ),
+            pairs AS (
+              SELECT a.url AS url_a, b.url AS url_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+              FROM sets a JOIN sets b ON a.url < b.url
+            )
+            SELECT url_a, url_b, round(inter / uni::DOUBLE, 4) AS jaccard
+            FROM pairs WHERE inter / uni::DOUBLE >= 0.7
+        """,
+        # Exact truth for the substring pass: LCS(a,b) >= 128 iff the
+        # docs share a 128-char gram, and the LCS length itself is
+        # 127 + the longest consecutive diagonal run of shared gram
+        # positions (gaps-and-islands over pa - pb). Fully exact SQL —
+        # the Spark anchors/binary-search path must reproduce it.
+        "substr_blocks": """
+            WITH view_docs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 3000000 AS VARCHAR),
+                     'PREFIX BLOCK :: ' || text || ' :: SUFFIX TAIL'
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            grams AS (
+              SELECT url, i AS pos, substring(text, i, 128) AS g
+              FROM view_docs, LATERAL (SELECT unnest(range(1, length(text) - 126)) AS i) ii
+              WHERE length(text) >= 128
+            ),
+            matches AS (
+              SELECT a.url AS url_a, b.url AS url_b, a.pos AS pa, b.pos AS pb
+              FROM grams a JOIN grams b ON a.g = b.g AND a.url < b.url
+            ),
+            runs AS (
+              SELECT url_a, url_b, pa - pb AS diag, pa,
+                     pa - row_number() OVER (PARTITION BY url_a, url_b, pa - pb
+                                             ORDER BY pa) AS grp
+              FROM matches
+            ),
+            islands AS (
+              SELECT url_a, url_b, count(*) AS run_len
+              FROM runs GROUP BY url_a, url_b, diag, grp
+            )
+            SELECT url_a, url_b, CAST(max(run_len) + 127 AS BIGINT) AS lcs_len
+            FROM islands GROUP BY 1, 2
+        """,
+        # ANN recall gates: the Spark side computes recall@3 of the
+        # approximate path against the brute-force baseline and emits
+        # recall_ok = (recall >= 0.95); the oracle pins the expected
+        # row shape + query count, so the hash check fails iff recall
+        # drops below the gate (or coverage shrinks).
+        "lsh_recall": """
+            SELECT 'lsh' AS path, CAST(4 * count(*) AS BIGINT) AS n_queries,
+                   true AS recall_ok
+            FROM embeddings
+        """,
+        "ivf_recall": """
+            SELECT 'ivf' AS path, CAST(4 * count(*) AS BIGINT) AS n_queries,
+                   true AS recall_ok
+            FROM embeddings
         """,
         "path_popularity": """
             WITH counts AS (

@@ -14,9 +14,12 @@ Spark shape:
   times, candidates shuffle once on cell id — the only data-sized
   shuffle, keyed to balance across C cells.
 
-Skew note: clustered corpora make hot cells; cap cell fan-in the same
-way LSH hot bands are handled (cells larger than ``cell_cap`` are
-sub-split by a salt on the member id before the join).
+Skew note: clustered corpora make hot cells; the probe join salts them
+(``cell_cap``): per-cell member counts (tiny, broadcast) give each cell
+a salt fan-out ``ceil(n/cell_cap)``; stored rows hash into one salted
+sub-cell, query rows replicate across all of that cell's sub-cells.
+Every join bucket is then bounded by ~cell_cap stored rows — same total
+candidate work, no single hot task.
 """
 
 from __future__ import annotations
@@ -101,8 +104,18 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int = 4096,
 ) -> DataFrame:
-    """Approximate top-k via IVF probing → (id_a, id_b, cos, rank)."""
+    """Approximate top-k via IVF probing → (id_a, id_b, cos, rank).
+
+    Hot-cell skew control: the probe equi-join is salted per cell.
+    ``cell_sizes`` (C rows, broadcast) carries each cell's salt fan-out
+    ``ns = ceil(members / cell_cap)``; stored rows take
+    ``salt = pmod(xxhash64(id), ns)`` while query probes explode across
+    all ns salts, so a clustered corpus (one cell holding most vectors)
+    joins in bounded ~cell_cap buckets instead of one hot task that AQE
+    cannot split further without losing the equi-join key.
+    """
     cents = train_centroids(emb, n_cells=n_cells, seed=seed, vec_col=vec_col)
     stored = assign_cells(emb, cents, id_col, vec_col, n_probe=1).select(
         F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell"
@@ -110,8 +123,17 @@ def ivf_topk(
     queries = assign_cells(emb, cents, id_col, vec_col, n_probe=n_probe).select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell"
     )
+    cell_sizes = stored.groupBy("cell").agg(
+        F.ceil(F.count("*") / F.lit(cell_cap)).cast("int").alias("ns")
+    )
+    stored_s = stored.join(F.broadcast(cell_sizes), "cell").withColumn(
+        "salt", F.pmod(F.xxhash64("id_b"), F.col("ns")).cast("int")
+    )
+    queries_s = queries.join(F.broadcast(cell_sizes), "cell").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+    )
     scored = (
-        queries.join(stored, "cell")
+        queries_s.join(stored_s.select("cell", "salt", "id_b", "vb"), ["cell", "salt"])
         .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))

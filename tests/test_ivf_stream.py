@@ -37,6 +37,25 @@ def test_ivf_topk_matches_exact_nn(emb):
     assert hits / len(exact_nn) >= 0.9
 
 
+def test_ivf_hot_cell_salting_preserves_results(spark):
+    """A deliberately clustered corpus (every vector in one tight blob →
+    one hot cell) must give identical output with a tiny cell_cap
+    (heavy salting) and with an effectively-unbounded cap: the salt
+    changes task shape, never candidate membership."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(12)
+    mat = (base + 0.05 * rng.standard_normal((80, 12))).astype(np.float32)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(k=3, n_cells=4, n_probe=2, seed=9)
+    salted = ivf.ivf_topk(emb, cell_cap=8, **kw).collect()
+    plain = ivf.ivf_topk(emb, cell_cap=1 << 30, **kw).collect()
+    key = lambda r: (r["id_a"], r["rank"])
+    assert sorted(((r["id_a"], r["id_b"], r["cos"], r["rank"]) for r in salted)) == \
+           sorted(((r["id_a"], r["id_b"], r["cos"], r["rank"]) for r in plain))
+
+
 def test_stream_dedup(spark, tmp_path):
     import shutil
 
