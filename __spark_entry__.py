@@ -465,6 +465,95 @@ def _q_embedding_lsh_dups(spark, sf_dir):
     return embedding_dup_pairs(emb.unionByName(copies), threshold=0.999)
 
 
+def _mirror_catalog_view(spark, sf_dir):
+    """Deterministic mirror-group catalog over the injected-dup docs:
+    member = source share, relpath = docs/<doc_id % 9973>, hash =
+    content sha, size = n_chars with a +1 bump on some injected copies
+    (doc_id % 13) so the size-conflict branch is exercised."""
+    base = _docs_with_dups(spark, sf_dir)
+    return base.select(
+        F.col("source").alias("member"),
+        F.concat(F.lit("docs/"), (F.col("doc_id") % 9973).cast("string")).alias("relpath"),
+        TX.content_sha(F.col("text")).alias("hash"),
+        (F.col("n_chars")
+         + F.when((F.col("doc_id") >= 1000000) & (F.col("doc_id") % 13 == 0), 1)
+            .otherwise(0)).cast("long").alias("size"),
+    )
+
+
+def _q_mirror_tasks(spark, sf_dir):
+    """J7 composed group-mirror task planner (group_mirror.go:281-362):
+    per-hash presence sets → copy tasks with popularity path election,
+    most-populated source election, occupied/planned conflict fencing."""
+    from deduplicator_go_spark.operators.mirror_plan import group_mirror_plan
+
+    tasks, _ = group_mirror_plan(_mirror_catalog_view(spark, sf_dir))
+    return tasks
+
+
+def _q_mirror_task_conflicts(spark, sf_dir):
+    """J7 conflict side of the planner: size / occupied / planned
+    (unsafe paths cannot occur in this view)."""
+    from deduplicator_go_spark.operators.mirror_plan import group_mirror_plan
+
+    _, conflicts = group_mirror_plan(_mirror_catalog_view(spark, sf_dir))
+    return conflicts
+
+
+_MIRROR_PLAN_SQL = """
+  cat AS (
+    SELECT source AS member,
+           'docs/' || CAST(doc_id % 9973 AS VARCHAR) AS relpath,
+           sha256(text) AS hash,
+           CAST(n_chars + CASE WHEN doc_id >= 1000000 AND doc_id % 13 = 0
+                               THEN 1 ELSE 0 END AS BIGINT) AS size
+    FROM base
+  ),
+  members AS (SELECT member, count(*) AS fc FROM cat GROUP BY 1),
+  catm AS (SELECT c.*, m.fc FROM cat c JOIN members m USING (member)),
+  szchk AS (SELECT hash, count(DISTINCT size) AS ns, min(size) AS msize
+            FROM catm GROUP BY 1),
+  good AS (SELECT c.* FROM catm c JOIN szchk s ON c.hash = s.hash AND s.ns = 1),
+  pstat AS (SELECT hash, relpath, count(*) AS copies, max(fc) AS best_fc
+            FROM good GROUP BY 1, 2),
+  elect AS (
+    SELECT hash, relpath FROM (
+      SELECT *, row_number() OVER (PARTITION BY hash
+                 ORDER BY copies DESC, best_fc DESC, relpath ASC) AS rk
+      FROM pstat) WHERE rk = 1
+  ),
+  src AS (
+    SELECT hash, size, relpath, member AS src_member FROM (
+      SELECT g.hash, g.size, g.relpath, g.member,
+             row_number() OVER (PARTITION BY g.hash
+                 ORDER BY g.fc DESC, g.member ASC) AS rk
+      FROM good g JOIN elect e ON g.hash = e.hash AND g.relpath = e.relpath)
+    WHERE rk = 1
+  ),
+  presence AS (SELECT DISTINCT hash, member FROM good),
+  targets AS (
+    SELECT s.hash, s.size, s.relpath, s.src_member, m.member AS dst_member
+    FROM src s CROSS JOIN members m
+    WHERE NOT EXISTS (SELECT 1 FROM presence p
+                      WHERE p.hash = s.hash AND p.member = m.member)
+  ),
+  occ AS (SELECT DISTINCT member AS dst_member, relpath, hash AS existing_hash
+          FROM cat),
+  free AS (
+    SELECT t.* FROM targets t
+    WHERE NOT EXISTS (SELECT 1 FROM occ o
+                      WHERE o.dst_member = t.dst_member
+                        AND o.relpath = t.relpath
+                        AND o.existing_hash <> t.hash)
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY dst_member, relpath
+                                 ORDER BY hash ASC) AS rk
+    FROM free
+  )
+"""
+
+
 def _ann_eval_view(spark, sf_dir):
     """embeddings ∪ three deterministically-jittered copies per vector.
 
@@ -590,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
+        "mirror_tasks": _q_mirror_tasks,
+        "mirror_task_conflicts": _q_mirror_task_conflicts,
         # value-checked against exact DuckDB truth (all-pairs shingle
         # Jaccard / diagonal-run LCS) — the approximate path must equal
         # the exact answer at this scale (recall 1.0)
@@ -840,6 +931,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY 1
+        """,
+        "mirror_tasks": f"""
+            WITH base AS ({dup_base}),
+            {_MIRROR_PLAN_SQL}
+            SELECT hash, size, relpath AS rel_path, src_member, dst_member
+            FROM ranked WHERE rk = 1
+        """,
+        "mirror_task_conflicts": f"""
+            WITH base AS ({dup_base}),
+            {_MIRROR_PLAN_SQL}
+            SELECT hash, CAST(NULL AS VARCHAR) AS rel_path,
+                   CAST(NULL AS VARCHAR) AS member,
+                   'same hash has conflicting sizes' AS reason
+            FROM szchk WHERE ns > 1
+            UNION ALL
+            SELECT DISTINCT t.hash, t.relpath AS rel_path,
+                   t.dst_member AS member,
+                   'destination path is already indexed with different hash' AS reason
+            FROM targets t JOIN occ o
+              ON o.dst_member = t.dst_member AND o.relpath = t.relpath
+             AND o.existing_hash <> t.hash
+            UNION ALL
+            SELECT hash, relpath AS rel_path, dst_member AS member,
+                   'destination path is already planned for different hash' AS reason
+            FROM ranked WHERE rk > 1
         """,
         # Exact truth for the MinHash/LSH surface: DuckDB computes the
         # full all-pairs character-shingle Jaccard (distinct 5-char

@@ -164,6 +164,60 @@ def cmd_mirror_check(args) -> dict:
     }
 
 
+def cmd_mirror_plan(args) -> dict:
+    """J7: composed group-mirror task planner (group_mirror.go:281-362) —
+    emits tasks + conflicts tables into the catalog."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators.mirror_plan import group_mirror_plan
+
+    cat_df = spark.read.parquet(args.input)
+    tasks, conflicts = group_mirror_plan(
+        cat_df, member_col=args.member_col, path_col=args.path_col,
+        hash_col=args.hash_col, size_col=args.size_col,
+    )
+    t_info = cat.write(tasks, "mirror_tasks", params_hash="mirror-plan")
+    c_info = cat.write(conflicts, "mirror_conflicts", params_hash="mirror-plan")
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in cat.read(spark, "mirror_conflicts")
+        .groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    return {"verb": "mirror-plan", "tasks": t_info.rows,
+            "conflicts": c_info.rows, "conflicts_by_reason": by_reason}
+
+
+def cmd_manage(args) -> dict:
+    """Policy-table management verbs (cmd/manage.go:313-430):
+    group-add / group-list / group-show / group-delete /
+    group-add-path / group-remove-path."""
+    spark = _spark(args)
+    from .sources.policy import PolicyStore
+
+    store = PolicyStore(spark, _catalog(args))
+    a, pos = args.action, args.pos
+    if a == "group-add":            # group-add <group>
+        store.group_add(pos[0], args.description or "",
+                        args.min_copies, args.max_copies)
+        return {"verb": "manage", "action": a, "group": pos[0]}
+    if a == "group-delete":         # group-delete <group>
+        store.group_delete(pos[0])
+        return {"verb": "manage", "action": a, "group": pos[0]}
+    if a == "group-add-path":       # group-add-path <group> <host> <path>
+        store.group_add_path(pos[0], pos[1], pos[2], args.priority)
+        return {"verb": "manage", "action": a, "group": pos[0],
+                "path": f"{pos[1]}:{pos[2]}"}
+    if a == "group-remove-path":    # group-remove-path <host> <path>
+        store.group_remove_path(pos[0], pos[1])
+        return {"verb": "manage", "action": a, "path": f"{pos[0]}:{pos[1]}"}
+    if a == "group-show":           # group-show <group>
+        return {"verb": "manage", "action": a, **store.group_show(pos[0])}
+    if a == "group-list":
+        rows = [r.asDict() for r in store.groups().orderBy("group_name").collect()]
+        return {"verb": "manage", "action": a, "groups": rows}
+    raise SystemExit(f"unknown manage action: {a}")
+
+
 def cmd_pipeline(args) -> dict:
     spark = _spark(args)
     cat = _catalog(args)
@@ -218,6 +272,25 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("pipeline"); s.add_argument("--input", required=True)
     s.add_argument("--no-substr", action="store_true"); s.set_defaults(fn=cmd_pipeline)
+
+    s = sub.add_parser("mirror-plan"); s.add_argument("--input", required=True)
+    s.add_argument("--member-col", default="member")
+    s.add_argument("--path-col", default="relpath")
+    s.add_argument("--hash-col", default="hash")
+    s.add_argument("--size-col", default="size")
+    s.set_defaults(fn=cmd_mirror_plan)
+
+    s = sub.add_parser("manage")
+    s.add_argument("action", choices=[
+        "group-add", "group-list", "group-show", "group-delete",
+        "group-add-path", "group-remove-path",
+    ])
+    s.add_argument("pos", nargs="*", default=[])
+    s.add_argument("--min-copies", type=int, default=2)
+    s.add_argument("--max-copies", type=int, default=None)
+    s.add_argument("--description", default="")
+    s.add_argument("--priority", type=int, default=100)
+    s.set_defaults(fn=cmd_manage)
     return p
 
 
