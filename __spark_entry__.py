@@ -554,6 +554,41 @@ _MIRROR_PLAN_SQL = """
 """
 
 
+def _q_work_queue(spark, sf_dir):
+    """F2 full parity: status-column work queue (hash.go:18-51) — rows
+    due for (re)signing = never-signed ∪ error-status under
+    --retry-problematic. done = docs with doc_id % 3 != 0 signed, of
+    which doc_id % 7 == 1 failed with a timeout status."""
+    from deduplicator_go_spark.operators.signatures import sign_documents, work_queue
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    done = sign_documents(
+        docs.filter(F.col("url").cast("long") % 3 != 0),
+        failure_expr=F.col("url").cast("long") % 7 == 1,
+    )
+    return work_queue(docs, done, retry_problematic=True).select("url")
+
+
+def _q_hash_upgrade(spark, sf_dir):
+    """Selective hash upgrade (hash_upgrade.go:17-99): legacy
+    partial-prefix signatures re-signed to full; short docs take the
+    unchanged branch (partial == full), long docs re-sign."""
+    from deduplicator_go_spark.operators.signatures import sign_documents, upgrade_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    legacy = sign_documents(docs, prefix_chars=100, params_version="v1-partial")
+    old = legacy.select("url", F.col("content_sha").alias("old_sha"))
+    upgraded, _ = upgrade_signatures(legacy, docs, params_version="v2-full")
+    return upgraded.join(old, "url").select(
+        "url", "content_sha", "status", "params_version",
+        (F.col("content_sha") != F.col("old_sha")).alias("changed"),
+    )
+
+
 def _ann_eval_view(spark, sf_dir):
     """embeddings ∪ three deterministically-jittered copies per vector.
 
@@ -681,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": _q_ivf_recall,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
+        "work_queue": _q_work_queue,
+        "hash_upgrade": _q_hash_upgrade,
         # value-checked against exact DuckDB truth (all-pairs shingle
         # Jaccard / diagonal-run LCS) — the approximate path must equal
         # the exact answer at this scale (recall 1.0)
@@ -931,6 +968,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY 1
+        """,
+        "work_queue": """
+            SELECT CAST(doc_id AS VARCHAR) AS url FROM documents
+            WHERE doc_id % 3 = 0 OR (doc_id % 3 <> 0 AND doc_id % 7 = 1)
+        """,
+        "hash_upgrade": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   sha256(text) AS content_sha,
+                   'ok' AS status,
+                   'v2-full' AS params_version,
+                   sha256(substring(text, 1, 100)) <> sha256(text) AS changed
+            FROM documents
         """,
         "mirror_tasks": f"""
             WITH base AS ({dup_base}),
