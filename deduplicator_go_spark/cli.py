@@ -109,10 +109,12 @@ def cmd_list_dupes(args) -> dict:
     )
     groups = exact.top_groups(exact.dup_groups(sigs, min_size=args.min_size), limit=args.count)
     members = exact.assemble_groups(exact.dup_members(sigs, groups))
-    rows = [r.asDict() for r in members.orderBy(F.desc("total_size"), "content_sha").collect()]
+    ordered = members.orderBy(F.desc("total_size"), "content_sha")
+    n_groups = ordered.count()
+    sample = [r.asDict() for r in ordered.limit(5).collect()]  # slice before collect
     sav = exact.savings(exact.dup_groups(sigs, min_size=args.min_size)).collect()[0].asDict()
-    return {"verb": "list-dupes", "groups": len(rows), "savings": sav,
-            "sample": rows[: min(5, len(rows))]}
+    return {"verb": "list-dupes", "groups": n_groups, "savings": sav,
+            "sample": sample}
 
 
 def cmd_move_dupes(args) -> dict:

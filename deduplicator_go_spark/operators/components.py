@@ -77,17 +77,36 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """edges(src, dst) → assignments(url, cluster_id); singletons absent
     (callers left-join and coalesce to self-label).
+
+    Shuffle sizing: each round is several tiny shuffles; with the
+    session's byte-based AQE coalescing off (see session.py), running
+    them at the global shuffle-partition count pays per-task scheduling
+    overhead × rounds for sub-MB data. The round loop therefore sizes
+    shuffle partitions from the measured edge count (~50k edges/task,
+    clamped to [4, global]) and restores the session conf after — the
+    same data-proportional choice AQE would make byte-wise, driven by
+    the row count the convergence fingerprint already measures.
     """
+    sess = edges.sparkSession
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
+    n0, _ = _fingerprint(cur)
+    global_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    cc_parts = max(4, min(global_parts, n0 // 50_000 + 1))
     prev_fp = None
-    for _ in range(max_iters):
-        cur = _small_star(_large_star(_symmetrize(cur)))
-        cur = cur.localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    try:
+        sess.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+        for _ in range(max_iters):
+            cur = _small_star(_large_star(_symmetrize(cur)))
+            # lazy checkpoint: the fingerprint action below materializes
+            # it, so each round is ONE job (checkpoint+converge fused)
+            cur = cur.localCheckpoint(eager=False)
+            fp = _fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", str(global_parts))
     # converged state is a star forest: src (member) -> dst (root)
     members = cur.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
     roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id")).distinct()

@@ -113,6 +113,16 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(PrefixHash(text).window(k))
 
 
+# Segment size (uint64 elements) for the permutation loop. The loop
+# applies num_perm affine maps to the same shingle array; streaming the
+# whole batch-concat (tens of MB) from DRAM once per permutation makes
+# the kernel memory-bandwidth-bound — measured: 16 parallel workers
+# burned 2.7x the CPU-seconds of 4 workers on identical input (shared
+# bandwidth saturated). A ~2 MB segment stays cache-resident across all
+# permutations, so DRAM traffic drops from num_perm passes to one.
+_SEG_ELEMS = 262_144
+
+
 def _batch_minhash(texts: pd.Series, k: int, a: np.ndarray, b: np.ndarray) -> pd.Series:
     num_perm = len(a)
     per_doc = [shingle_hashes(t if isinstance(t, str) else "", k) for t in texts]
@@ -120,14 +130,28 @@ def _batch_minhash(texts: pd.Series, k: int, a: np.ndarray, b: np.ndarray) -> pd
     out = np.full((len(per_doc), num_perm), _MASK, dtype=np.uint64)
     nonempty = lens > 0
     if nonempty.any():
-        concat = np.concatenate([x for x in per_doc if len(x)]) if nonempty.any() else np.empty(0, np.uint64)
-        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        concat = np.concatenate([x for x in per_doc if len(x)])
+        ne_lens = lens[nonempty]
+        offsets = np.zeros(len(ne_lens), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=offsets[1:])
         rows = np.where(nonempty)[0]
-        for p in range(num_perm):
-            permed = concat * a[p] + b[p]          # mod 2^64 wraparound
-            mins = np.minimum.reduceat(permed, offsets)
-            out[rows, p] = mins
+        total = len(concat)
+        permed = np.empty(min(total, _SEG_ELEMS + int(ne_lens.max())), dtype=np.uint64)
+        d0 = 0  # first doc of the current segment
+        while d0 < len(offsets):
+            # extend the segment to whole docs, >= _SEG_ELEMS elements
+            d1 = int(np.searchsorted(offsets, offsets[d0] + _SEG_ELEMS, side="left"))
+            d1 = max(d1, d0 + 1)
+            s0 = offsets[d0]
+            s1 = offsets[d1] if d1 < len(offsets) else total
+            sub = concat[s0:s1]
+            sub_off = offsets[d0:d1] - s0
+            buf = permed[: len(sub)]
+            for p in range(num_perm):
+                np.multiply(sub, a[p], out=buf)
+                np.add(buf, b[p], out=buf)          # mod 2^64 wraparound
+                out[rows[d0:d1], p] = np.minimum.reduceat(buf, sub_off)
+            d0 = d1
     sigs = out.view(np.int64)  # store as Spark bigint
     return pd.Series(list(sigs))
 

@@ -223,6 +223,8 @@ class DedupPipeline:
 
         report.stages.append(self._stage("dup_report", build_report))
 
-        report.docs_in = docs.count()
+        # input size from the valid_docs commit marker (parquet-footer
+        # lineage) — no extra scan job over the raw input
+        report.docs_in = self.catalog.table_rows("valid_docs")
         report.wall_sec = time.time() - t_start
         return report

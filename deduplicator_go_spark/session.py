@@ -48,7 +48,14 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing is byte-targeted; this engine's hot stages are
+        # CPU-bound on small-byte intermediates (band/anchor tables,
+        # candidate pairs), and measured coalescing cost the candidate
+        # window path 39% wall at local[16] by squeezing it to 1-3
+        # tasks. On a production cluster with IO-bound scans you'd
+        # re-enable it with minPartitionSize sized to the executor
+        # count; skew-join splitting stays on either way.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
