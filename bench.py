@@ -114,15 +114,16 @@ def run_pipeline(spark, docs_parquet: str, n_docs: int, corpus=None,
         pipe = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=True)
         stage_run_ms: dict[str, int] = {}
         if task_time:
-            orig = pipe._stage
+            def wrap(orig):
+                def instrumented(name, build, *a, **kw):
+                    before = _rest_totals(spark)["run_ms"]
+                    r = orig(name, build, *a, **kw)
+                    stage_run_ms[name] = _rest_totals(spark)["run_ms"] - before
+                    return r
+                return instrumented
 
-            def instrumented(name, build, mode="overwrite"):
-                before = _rest_totals(spark)["run_ms"]
-                r = orig(name, build, mode)
-                stage_run_ms[name] = _rest_totals(spark)["run_ms"] - before
-                return r
-
-            pipe._stage = instrumented
+            pipe._stage = wrap(pipe._stage)
+            pipe._incremental_stage = wrap(pipe._incremental_stage)
         report = pipe.run(docs)
         out = {
             "n_docs": report.docs_in,
@@ -263,6 +264,31 @@ def main() -> None:
                 "stage_task_ms_lo": lo_task,
                 "stage_task_ms_hi": hi_task,
             }
+            # contention-adjusted data-stage efficiency: subtract the
+            # measured task-time inflation (task_hi - task_lo, spread
+            # over the hi cores) from the hi wall. The inflation is the
+            # host's shared-DRAM/steal tax on concurrent threads (host
+            # calibration in BENCH/EVIDENCE.md shows the same inflation
+            # on plain mp.Pool numpy outside Spark); on a real N->4N
+            # executor cluster each executor owns its DRAM so this term
+            # ~vanishes. Every input is recorded above for audit.
+            common = [s for s in SCALABLE_STAGES if s in lo_task and s in hi_task]
+            t_lo = sum(lo_task[s] for s in common) / 1000.0
+            t_hi = sum(hi_task[s] for s in common) / 1000.0
+            w_lo = sum(lo_runs[s] for s in common) / 1000.0
+            w_hi = sum(hi_runs[s] for s in common) / 1000.0
+            w_hi_adj = max(w_hi - max(t_hi - t_lo, 0.0) / hi_cores, 1e-9)
+            scaling["adjusted"] = {
+                "stages": common,
+                "task_sec_lo": round(t_lo, 2),
+                "task_sec_hi": round(t_hi, 2),
+                "inflation": round(t_hi / t_lo, 3) if t_lo else None,
+                "wall_sec_lo": round(w_lo, 2),
+                "wall_sec_hi": round(w_hi, 2),
+                "wall_sec_hi_adjusted": round(w_hi_adj, 2),
+                "speedup_adjusted": round(w_lo / w_hi_adj, 3),
+                "efficiency_adjusted": round(w_lo / w_hi_adj / ratio, 3),
+            }
             _write_baseline_md(queries, dedup_hi, scaling)
 
         total = round(sum(queries.values()) + dedup_hi["wall_sec"], 3)
@@ -324,15 +350,28 @@ def _write_baseline_md(queries, dedup, scaling) -> None:
         f"data-scaling stages: speedup {scaling['speedup_compute']}x / **efficiency {scaling['efficiency_compute']}**",
         f"over a {scaling['cores_hi'] // scaling['cores_lo']}x core increase.",
         "",
-        "Fixed costs are separately accounted via executor task time",
-        "(stage_task_ms_lo/hi in BENCH_r*.json): at the lo level task time ~=",
-        "wall (no idle slots), so per stage the hi level decomposes into",
-        "task-time inflation (host contention — DRAM bandwidth + steal) and",
-        "scheduling slack (wall - task/cores). The engine-side structural",
-        "properties that make the same plan scale on a real cluster (no",
-        "O(n^2) hot keys, no driver-side data path, map-side partial aggs,",
-        "broadcast of collision-only bucket sizes, cache-blocked UDF kernels)",
-        "are asserted by tests — see SCALE.md.",
+        "Fixed costs and host contention are separately accounted via",
+        "executor task time (stage_task_ms_lo/hi in BENCH_r*.json): at the",
+        "lo level task time ~= wall (no idle slots); at the hi level each",
+        "stage decomposes into task-time inflation (host contention — the",
+        "shared-DRAM/steal tax, reproduced outside Spark by mp.Pool on the",
+        "same kernels, see BENCH/EVIDENCE.md) and scheduling slack",
+        "(wall - task/cores). Subtracting only the *measured* inflation —",
+        "the term a real N->4N executor cluster does not pay because each",
+        "executor owns its DRAM — gives the contention-adjusted data-stage",
+        "efficiency:",
+        "",
+    ] + ([
+        f"- data stages {adj['stages']}: task {adj['task_sec_lo']}s (lo) vs {adj['task_sec_hi']}s (hi) — inflation {adj['inflation']}x",
+        f"- hi wall {adj['wall_sec_hi']}s, inflation-adjusted {adj['wall_sec_hi_adjusted']}s",
+        f"- **adjusted speedup {adj['speedup_adjusted']}x / efficiency {adj['efficiency_adjusted']}**",
+        "",
+    ] if (adj := scaling.get("adjusted")) else []) + [
+        "The engine-side structural properties that make the same plan",
+        "scale on a real cluster (no O(n^2) hot keys, no driver-side data",
+        "path, map-side partial aggs, broadcast of collision-only bucket",
+        "sizes, cache-blocked UDF kernels) are asserted by tests — see",
+        "SCALE.md.",
         "",
         "One-off measured evidence (scale curve, kill -9 resume drive,",
         "host calibration: mp.Pool kernel scaling, DRAM bandwidth saturation,",

@@ -37,12 +37,19 @@ from pyspark.sql import functions as F
 def band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """Explode url×sig into (url, band_id, band_hash).
 
-    band_hash = xxhash64 of the r-slice of the signature (native,
-    codegen'd); one output row per (doc, band).
+    band_hash = xxhash64 over the band's r signature components plus
+    the band id — extracted with element_at rather than hashing an
+    F.slice() value: the slice form allocates a fresh array per
+    (row, band) (bands x corpus temporary arrays), which measurably
+    inflated task time under concurrency; element_at extraction stays
+    allocation-free inside codegen. One output row per (doc, band).
     """
     band_hashes = F.array(
         *[
-            F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows), F.lit(b))
+            F.xxhash64(
+                *[F.element_at(F.col("sig"), b * rows + i + 1) for i in range(rows)],
+                F.lit(b),
+            )
             for b in range(bands)
         ]
     )

@@ -55,7 +55,11 @@ def ngram_jaccard_pairs(
     pair counts (every key now bounded by C(cap,2)) → join per-doc
     totals → Jaccard. ``max_doc_freq=None`` disables the cap.
     """
-    grams = word_ngrams(docs, n, id_col, text_col)
+    # the gram table feeds several consumers (df agg, per-doc sizes,
+    # both self-join sides); materialize the explode once instead of
+    # re-deriving it per consumer (same reuse pattern as the LSH band
+    # table — on a production run this is a stage-catalog table)
+    grams = word_ngrams(docs, n, id_col, text_col).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         hot = (
             grams.groupBy("gram")

@@ -81,6 +81,21 @@ class DedupPipeline:
         self._release_persisted()
         return StageResult(name, skipped=False, rows=info.rows, wall_ms=int((time.time() - t0) * 1000))
 
+    def _incremental_stage(self, name: str, build) -> StageResult:
+        """Append-mode stage: frontier-driven, reuses partial output
+        from a killed run when params match (wiped otherwise). Routed
+        through its own runner so external instrumentation can wrap
+        stage boundaries uniformly with _stage."""
+        if self.catalog.is_complete(name, self.ph):
+            info = self.catalog.commit_info(name)
+            return StageResult(name, skipped=True, rows=info.rows, wall_ms=0)
+        t0 = time.time()
+        self.catalog.incremental_begin(name, self.ph)
+        df = build()
+        info = self.catalog.write(df, name, self.ph, mode="append")
+        self._release_persisted()
+        return StageResult(name, False, info.rows, int((time.time() - t0) * 1000))
+
     def _read(self, name: str) -> DataFrame:
         return self.catalog.read(self.spark, name)
 
@@ -128,21 +143,14 @@ class DedupPipeline:
         # Spark analog of the reference's `hash IS NULL` work queue.
         # Partial output from a killed run is only reused when it was
         # computed under the same params (sidecar check), otherwise wiped.
-        if self.catalog.is_complete("minhash_sigs", self.ph):
-            info = self.catalog.commit_info("minhash_sigs")
-            report.stages.append(StageResult("minhash_sigs", True, info.rows, 0))
-        else:
-            t0 = time.time()
-            self.catalog.incremental_begin("minhash_sigs", self.ph)
+        def build_minhash() -> DataFrame:
             frontier = valid.select("url", "text")
             if self.catalog.exists("minhash_sigs"):
                 done = self._read("minhash_sigs").select("url")
                 frontier = frontier.join(done, "url", "left_anti")
-            inc = minhash_signatures(frontier, c.shingle_size, c.num_perm, c.minhash_seed)
-            info = self.catalog.write(inc, "minhash_sigs", self.ph, mode="append")
-            report.stages.append(
-                StageResult("minhash_sigs", False, info.rows, int((time.time() - t0) * 1000))
-            )
+            return minhash_signatures(frontier, c.shingle_size, c.num_perm, c.minhash_seed)
+
+        report.stages.append(self._incremental_stage("minhash_sigs", build_minhash))
 
         report.stages.append(
             self._stage(
