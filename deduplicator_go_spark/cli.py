@@ -10,6 +10,7 @@ Verb parity (reference → here):
   files move-dupes (files/move.go:23)                  → move-dupes (plan)
   files prune  (files/prune.go)                        → prune
   files mirror (files/mirror.go)                       → mirror-check
+  server       (cmd/server.go:79 HTTP search)          → serve
   (new) full near-dup pipeline                         → pipeline
 
 Every verb reads/writes parquet tables under a --catalog directory via
@@ -23,10 +24,33 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import random
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .functions.sizes import format_size, parse_size
+
+
+def dedupe_args(values: list[str] | None) -> list[str]:
+    """U5: order-preserving dedupe of repeated path args, empties
+    dropped (files/hash.go:142-156 resolveHashPriorityRootFolders)."""
+    return list(dict.fromkeys(v.strip() for v in values or [] if v and v.strip()))
+
+
+def _maybe_sample(df: DataFrame) -> DataFrame:
+    """O8: ENVIRONMENT=local applies a random LIMIT 1000-1099 to input
+    reads for quick iteration (files/utils.go:17-27, applied by
+    prune.go:67,80). DEDUP_SAMPLE_LIMIT pins the limit for tests."""
+    if os.environ.get("ENVIRONMENT") != "local":
+        return df
+    limit = int(
+        os.environ.get("DEDUP_SAMPLE_LIMIT") or 1000 + random.randint(0, 99)
+    )
+    print(f"[debug] ENVIRONMENT=local, applying LIMIT {limit}", file=sys.stderr)
+    return df.limit(limit)
 
 
 def _spark(args) -> SparkSession:
@@ -77,8 +101,17 @@ def cmd_hash(args) -> dict:
     # Normalize to (url, text) once, so the frontier anti-join, the
     # committed table, and any resumed run all share the key name
     # regardless of --id-col/--text-col.
-    docs = spark.read.parquet(args.input).select(
-        F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")
+    raw = spark.read.parquet(args.input)
+    # --large-first needs a size to order by: the table's own size column
+    # or text length (the reference orders its file rows by size,
+    # files/hash.go:109-123)
+    size_col = (
+        [F.col("size")] if args.large_first and "size" in raw.columns
+        else [F.length(args.text_col).alias("size")] if args.large_first
+        else []
+    )
+    docs = raw.select(
+        F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text"), *size_col
     )
 
     def transform(batch):
@@ -92,6 +125,8 @@ def cmd_hash(args) -> dict:
         spark, cat, "signatures",
         docs, transform, key="url",
         params_hash=cfg.params_hash(), batch_limit=args.count,
+        large_first="size" if args.large_first else None,
+        priority_prefixes=dedupe_args(args.priority_path) or None,
     )
     return {"verb": "hash", "rows": total}
 
@@ -100,19 +135,22 @@ def cmd_list_dupes(args) -> dict:
     spark = _spark(args)
     from .operators import exact
 
-    docs = spark.read.parquet(args.input)
+    docs = _maybe_sample(spark.read.parquet(args.input))
+    min_size = parse_size(args.min_size)
     sigs = exact.with_signature(
         exact.valid_documents(
             docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text"),
                         *(["lang"] if "lang" in docs.columns else []))
         )
     )
-    groups = exact.top_groups(exact.dup_groups(sigs, min_size=args.min_size), limit=args.count)
+    groups = exact.top_groups(exact.dup_groups(sigs, min_size=min_size), limit=args.count)
     members = exact.assemble_groups(exact.dup_members(sigs, groups))
     ordered = members.orderBy(F.desc("total_size"), "content_sha")
     n_groups = ordered.count()
     sample = [r.asDict() for r in ordered.limit(5).collect()]  # slice before collect
-    sav = exact.savings(exact.dup_groups(sigs, min_size=args.min_size)).collect()[0].asDict()
+    sav = exact.savings(exact.dup_groups(sigs, min_size=min_size)).collect()[0].asDict()
+    if sav.get("savings_bytes") is not None:
+        sav["savings_human"] = format_size(int(sav["savings_bytes"]))
     return {"verb": "list-dupes", "groups": n_groups, "savings": sav,
             "sample": sample}
 
@@ -122,11 +160,11 @@ def cmd_move_dupes(args) -> dict:
     cat = _catalog(args)
     from .operators import actions, exact
 
-    docs = spark.read.parquet(args.input)
+    docs = _maybe_sample(spark.read.parquet(args.input))
     sigs = exact.with_signature(
         exact.valid_documents(docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")))
     )
-    members = exact.dup_members(sigs, exact.dup_groups(sigs, min_size=args.min_size))
+    members = exact.dup_members(sigs, exact.dup_groups(sigs, min_size=parse_size(args.min_size)))
     elected = exact.elect_keeper_lexicographic(members)
     plan = actions.plan_removals(elected, archive_prefix=args.exclude_prefix)
     info = cat.write(plan, "move_plan", params_hash="move")
@@ -139,7 +177,7 @@ def cmd_prune(args) -> dict:
     cat = _catalog(args)
     from .operators.joins import prune_missing
 
-    stored = cat.read(spark, "catalog")
+    stored = _maybe_sample(cat.read(spark, "catalog"))
     from .sources.readers import read_listing_text
 
     live = read_listing_text(spark, args.input)
@@ -220,6 +258,19 @@ def cmd_manage(args) -> dict:
     raise SystemExit(f"unknown manage action: {a}")
 
 
+def cmd_serve(args) -> dict:
+    """S6: HTTP search service over a catalog table (cmd/server.go:79)."""
+    spark = _spark(args)
+    from .server import SearchService, serve
+
+    service = SearchService(
+        spark, _catalog(args), table=args.table,
+        host=args.host, delete_enabled=not args.read_only,
+    )
+    serve(service, addr=args.addr, port=args.port)  # blocks until ^C
+    return {"verb": "serve", "table": args.table}
+
+
 def cmd_pipeline(args) -> dict:
     spark = _spark(args)
     cat = _catalog(args)
@@ -251,16 +302,18 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("hash"); s.add_argument("--input", required=True)
     s.add_argument("--count", type=int, default=None)
     s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.add_argument("--large-first", action="store_true")
+    s.add_argument("--priority-path", action="append", default=[])
     s.set_defaults(fn=cmd_hash)
 
     s = sub.add_parser("list-dupes"); s.add_argument("--input", required=True)
     s.add_argument("--count", type=int, default=None)
-    s.add_argument("--min-size", type=int, default=0)
+    s.add_argument("--min-size", default="0")  # accepts "10M" (C7)
     s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
     s.set_defaults(fn=cmd_list_dupes)
 
     s = sub.add_parser("move-dupes"); s.add_argument("--input", required=True)
-    s.add_argument("--min-size", type=int, default=0)
+    s.add_argument("--min-size", default="0")  # accepts "10M" (C7)
     s.add_argument("--exclude-prefix", default=None)
     s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
     s.set_defaults(fn=cmd_move_dupes)
@@ -281,6 +334,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hash-col", default="hash")
     s.add_argument("--size-col", default="size")
     s.set_defaults(fn=cmd_mirror_plan)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--table", default="catalog")
+    s.add_argument("--addr", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=19111)  # reference :19111
+    s.add_argument("--host", default=None)
+    s.add_argument("--read-only", action="store_true")
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("manage")
     s.add_argument("action", choices=[

@@ -31,20 +31,33 @@ def frontier(
     key: str | list[str],
     limit: int | None = None,
     large_first: str | None = None,
+    priority_prefixes: list[str] | None = None,
 ) -> DataFrame:
     """Rows of ``inputs`` whose key is absent from ``done``.
 
     ``limit`` mirrors the reference's --count batch bound
     (files/hash.go:268); ``large_first`` mirrors --large-first ordering
-    (files/hash.go:109-123) — at scale ordering is only meaningful
-    with a limit, so it is applied just before the bound."""
+    (files/hash.go:109-123); ``priority_prefixes`` mirrors the
+    priority root folders that are hashed first
+    (files/hash.go:142-178 resolveHashPriorityRootFolders) — rows whose
+    key starts with an earlier prefix sort first. At scale ordering is
+    only meaningful with a limit, so both are applied just before the
+    bound."""
     keys = [key] if isinstance(key, str) else list(key)
     out = inputs
     if done is not None:
         out = out.join(done.select(*keys).distinct(), keys, "left_anti")
     if limit is not None:
+        order = []
+        if priority_prefixes:
+            rank = F.lit(len(priority_prefixes))
+            for i, p in reversed(list(enumerate(priority_prefixes))):
+                rank = F.when(F.col(keys[0]).startswith(p), F.lit(i)).otherwise(rank)
+            order.append(rank.asc())
         if large_first is not None:
-            out = out.orderBy(F.desc(F.coalesce(F.col(large_first), F.lit(-1))))
+            order.append(F.desc(F.coalesce(F.col(large_first), F.lit(-1))))
+        if order:
+            out = out.orderBy(*order)
         out = out.limit(limit)
     return out
 
@@ -59,6 +72,8 @@ def run_incremental(
     params_hash: str = "",
     batch_limit: int | None = None,
     max_ticks: int = 1_000_000,
+    large_first: str | None = None,
+    priority_prefixes: list[str] | None = None,
 ) -> int:
     """Drive ``transform`` over the frontier until drained (the systemd
     re-run loop collapsed into a driver loop).  Returns rows appended
@@ -74,7 +89,10 @@ def run_incremental(
     appended_total = 0
     for _ in range(max_ticks):
         done = catalog.read(spark, table) if catalog.exists(table) else None
-        batch = frontier(inputs, done, key, limit=batch_limit)
+        batch = frontier(
+            inputs, done, key, limit=batch_limit,
+            large_first=large_first, priority_prefixes=priority_prefixes,
+        )
         out = transform(batch)
         info = catalog.write(out, table, params_hash, mode="append")
         appended = info.rows - before

@@ -100,3 +100,62 @@ def test_cli_hash_custom_id_col(capsys, corpus, tmp_path):
     out = _run(capsys, ["--catalog", cat, "--cores", "8",
                         "hash", "--input", p, "--id-col", "doc_id", "--count", "250"])
     assert out["rows"] == 0
+
+
+def test_cli_min_size_human(capsys, docs_parquet, tmp_path):
+    """C7: --min-size accepts '1K'-style sizes (ParseSize parity); the
+    savings summary carries a formatted human total."""
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "list-dupes", "--input", docs_parquet,
+                        "--min-size", "1K"])
+    # groups survive only when duplicated text >= 1024 chars
+    assert out["groups"] < 18
+    assert out["savings"]["savings_human"].split()[1] in ("B", "KB", "MB")
+
+
+def test_cli_sampling_profile(capsys, docs_parquet, tmp_path, monkeypatch):
+    """O8: ENVIRONMENT=local caps input reads for quick iteration
+    (files/utils.go:17-27); DEDUP_SAMPLE_LIMIT pins the limit."""
+    monkeypatch.setenv("ENVIRONMENT", "local")
+    monkeypatch.setenv("DEDUP_SAMPLE_LIMIT", "50")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "list-dupes", "--input", docs_parquet])
+    # 50-doc sample must see far fewer dup groups than the full corpus
+    assert out["groups"] < 18
+
+
+def test_cli_hash_priority_paths(capsys, corpus, spark, tmp_path):
+    """U5 + O4: repeated --priority-path args are deduped
+    order-preserving, and the frontier hashes priority-prefix rows
+    first (hash.go:142-178 resolveHashPriorityRootFolders)."""
+    from deduplicator_go_spark.cli import dedupe_args
+    from deduplicator_go_spark.streaming.incremental import frontier
+
+    assert dedupe_args(["/a", "/b", "/a", " ", "/b"]) == ["/a", "/b"]
+
+    # frontier ordering: with a limit, priority prefixes fill the batch
+    # first, in the order they were given
+    rows = spark.createDataFrame(
+        [("/low/x", 9), ("/p2/a", 1), ("/p1/b", 2), ("/low/y", 8), ("/p1/c", 3)],
+        "url string, size long",
+    )
+    batch = frontier(rows, None, "url", limit=3,
+                     priority_prefixes=["/p1", "/p2"])
+    urls = [r["url"] for r in batch.collect()]
+    assert set(urls[:2]) == {"/p1/b", "/p1/c"} and urls[2] == "/p2/a"
+    # large_first breaks ties inside the same priority class
+    batch = frontier(rows, None, "url", limit=2, large_first="size",
+                     priority_prefixes=["/p1"])
+    assert [r["url"] for r in batch.collect()] == ["/p1/c", "/p1/b"]
+
+    # end-to-end through the CLI: drains fully with the knobs set
+    p = str(tmp_path / "docs.parquet")
+    corpus.documents.drop(columns=["kind"]).to_parquet(
+        p, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    prefix = corpus.documents["url"].iloc[0].rsplit("/", 1)[0]
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "hash", "--input", p, "--count", "250",
+                        "--large-first", "--priority-path", prefix,
+                        "--priority-path", prefix])
+    assert out["rows"] == 600
