@@ -113,6 +113,46 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(PrefixHash(text).window(k))
 
 
+def batch_window_hashes(texts, k: int, clamp_short: bool = False) -> list[np.ndarray]:
+    """Per-doc rolling k-gram window hashes for a whole Arrow batch in
+    ONE prefix-hash pass over the batch concatenation.
+
+    The window hash P[i+k] - P[i]·B^k telescopes to the k-gram's own
+    polynomial — position-independent — so slicing the concatenation's
+    window array at doc boundaries yields arrays identical to
+    ``PrefixHash(t).window(k)`` per doc, with cross-boundary windows
+    excluded by the slice bounds. One O(batch_bytes) vector pass
+    replaces per-doc encode/alloc/dispatch overhead (a few thousand
+    numpy calls per batch), which dominated the anchor/shingle stages.
+
+    ``clamp_short=True`` reproduces PrefixHash.window's clamp for docs
+    shorter than k (one hash of the whole text — the shingle_hashes
+    semantics that keeps distinct tiny docs distinct); False returns
+    empty for them (the anchor semantics — a doc shorter than the
+    anchor gram has no anchors).
+    """
+    txts = [t if isinstance(t, str) else "" for t in texts]
+    lens = np.fromiter((len(t) for t in txts), dtype=np.int64, count=len(txts))
+    empty = np.empty(0, dtype=np.uint64)
+
+    def short(t: str) -> np.ndarray:
+        # rare path: 0 < len < k — whole-text hash when clamping
+        if not clamp_short or not t:
+            return empty
+        return PrefixHash(t).window(len(t))
+
+    concat = "".join(txts)
+    if k <= 0 or len(concat) < k:
+        return [short(t) for t in txts]
+    hw = PrefixHash(concat).window(k)
+    offs = np.zeros(len(txts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return [
+        hw[offs[i] : offs[i] + lens[i] - k + 1] if lens[i] >= k else short(txts[i])
+        for i in range(len(txts))
+    ]
+
+
 # Segment size (uint64 elements) for the permutation loop. The loop
 # applies num_perm affine maps to the same shingle array; streaming the
 # whole batch-concat (tens of MB) from DRAM once per permutation makes
@@ -125,7 +165,7 @@ _SEG_ELEMS = 262_144
 
 def _batch_minhash(texts: pd.Series, k: int, a: np.ndarray, b: np.ndarray) -> pd.Series:
     num_perm = len(a)
-    per_doc = [shingle_hashes(t if isinstance(t, str) else "", k) for t in texts]
+    per_doc = [np.unique(w) for w in batch_window_hashes(texts, k, clamp_short=True)]
     lens = np.array([len(x) for x in per_doc], dtype=np.int64)
     out = np.full((len(per_doc), num_perm), _MASK, dtype=np.uint64)
     nonempty = lens > 0

@@ -55,13 +55,17 @@ def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "t
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def anchors(texts: pd.Series) -> pd.Series:
-        out = []
+        # one prefix-hash pass over the whole Arrow batch, then cheap
+        # per-doc density filtering (batch_window_hashes yields values
+        # identical to the per-doc path)
+        from .minhash import batch_window_hashes
+
         m = np.uint64(mod)
-        for t in texts:
-            h, _ = _gram_hash_positions(t if isinstance(t, str) else "", k)
-            sel = h[h % m == np.uint64(0)]
-            out.append(np.unique(sel).view(np.int64))
-        return pd.Series(out)
+        zero = np.uint64(0)
+        return pd.Series(
+            [np.unique(h[h % m == zero]).view(np.int64)
+             for h in batch_window_hashes(texts, k)]
+        )
 
     return (
         docs.select("url", F.col(text_col).alias(text_col))
@@ -73,15 +77,19 @@ def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "t
     )
 
 
-def _lcs_length(a: str, b: str, min_len: int) -> int:
+def _lcs_length(a: str, b: str, min_len: int,
+                pa_h: PrefixHash | None = None,
+                pb_h: PrefixHash | None = None) -> int:
     """Exact longest-common-substring length if >= min_len, else 0.
 
     Binary search on L over shared PrefixHash arrays (each probe is
     one vectorized windowed-diff pass, not a recompute): a common
     L-gram exists iff hash sets intersect AND a direct string
-    comparison at matched offsets confirms (collision-proof)."""
-    pa_h = PrefixHash(a)
-    pb_h = PrefixHash(b)
+    comparison at matched offsets confirms (collision-proof).
+    Callers that see the same text across many pairs pass memoized
+    PrefixHash objects."""
+    pa_h = pa_h if pa_h is not None else PrefixHash(a)
+    pb_h = pb_h if pb_h is not None else PrefixHash(b)
 
     def common_at(L: int) -> bool:
         if len(a) < L or len(b) < L:
@@ -124,8 +132,23 @@ def verify_substr_pairs(
 
     @F.pandas_udf(T.LongType())
     def lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # docs recur across pairs (template chains): memoize the O(len)
+        # prefix-hash arrays per distinct text within the batch — the
+        # same batch-level reuse as exact_jaccard_udf
+        cache: dict[str, PrefixHash] = {}
+
+        def ph(t: str) -> PrefixHash:
+            p = cache.get(t)
+            if p is None:
+                p = PrefixHash(t)
+                cache[t] = p
+            return p
+
         return pd.Series(
-            [_lcs_length(x or "", y or "", min_len) for x, y in zip(ta, tb)],
+            [
+                _lcs_length(x or "", y or "", min_len, ph(x or ""), ph(y or ""))
+                for x, y in zip(ta, tb)
+            ],
             dtype="int64",
         )
 

@@ -111,11 +111,17 @@ def verify_pairs(
         )
     num_perm = len(first["sig"])
     s = sigs.select("url", "sig")
+    # Both the clear and borderline branches consume this estimate
+    # table; without pinning it, the union plan re-runs the two sig
+    # joins (the whole signature table shuffled twice more) per branch.
+    # Post-estimate rows are tiny (urls + origin + double), so
+    # materializing once is far cheaper than one re-derivation.
     with_sigs = (
         pairs.join(s.withColumnsRenamed({"url": "url_a", "sig": "sig_a"}), "url_a")
         .join(s.withColumnsRenamed({"url": "url_b", "sig": "sig_b"}), "url_b")
         .withColumn("est", estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm))
         .drop("sig_a", "sig_b")
+        .localCheckpoint(eager=True)
     )
     clear = with_sigs.filter(
         (F.col("est") >= threshold + est_margin) | (F.col("est") < threshold - est_margin)

@@ -93,3 +93,30 @@ def test_hot_band_chaining_keeps_edges_linear(spark, docs, corpus):
     # all-pairs would be n*(n-1)/2 per band; chaining keeps it near-linear
     assert len(tmpl_edges) < 6 * n_tmpl
     assert any(r["origin"] == "chain" for r in tmpl_edges)
+
+
+def test_batch_window_hashes_parity():
+    """The one-pass batched kernel must produce values identical to the
+    per-doc PrefixHash path, including the short-doc clamp semantics."""
+    import random
+
+    import numpy as np
+
+    from deduplicator_go_spark.operators.minhash import (
+        PrefixHash,
+        batch_window_hashes,
+        shingle_hashes,
+    )
+
+    random.seed(7)
+    texts = ["".join(random.choice("abcdef é中") for _ in range(random.randint(0, 150)))
+             for _ in range(64)] + ["", "ab", "x" * 63, "y" * 64, None]
+    for k in (5, 64):
+        clamped = batch_window_hashes(texts, k, clamp_short=True)
+        plain = batch_window_hashes(texts, k, clamp_short=False)
+        for t, c, p in zip(texts, clamped, plain):
+            t = t or ""
+            assert np.array_equal(np.unique(c), shingle_hashes(t, k))
+            want_plain = (PrefixHash(t).window(k) if len(t) >= k
+                          else np.empty(0, np.uint64))
+            assert np.array_equal(p, want_plain)
