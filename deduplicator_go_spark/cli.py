@@ -10,6 +10,10 @@ Verb parity (reference → here):
   files move-dupes (files/move.go:23)                  → move-dupes (plan)
   files prune  (files/prune.go)                        → prune
   files mirror (files/mirror.go)                       → mirror-check
+  files hash work-queue flags (files/hash.go:18-51)    → sign
+  problematic  (cmd/app.go:175)                        → problematic
+  files hash-upgrade (files/hash_upgrade.go:17)        → hash-upgrade
+  files dedupe-group (files/group_dedup.go)            → dedupe-group
   server       (cmd/server.go:79 HTTP search)          → serve
   (new) full near-dup pipeline                         → pipeline
 
@@ -258,6 +262,122 @@ def cmd_manage(args) -> dict:
     raise SystemExit(f"unknown manage action: {a}")
 
 
+def cmd_sign(args) -> dict:
+    """Status-column signature backfill (hash.go:18-51 work queue):
+    --retry-problematic / --renew / --refresh compose the queue
+    predicates; --prefix-chars writes legacy partial hashes
+    (hash_upgrade.go's stored-hash population)."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators.signatures import sign_documents, work_queue
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")
+    )
+    done = cat.read(spark, "signatures_status") if cat.exists("signatures_status") else None
+    queue = work_queue(
+        docs, done, retry_problematic=args.retry_problematic,
+        renew=args.renew, refresh=args.refresh,
+        size_blocking=args.size_blocking,
+    )
+    signed = sign_documents(queue, prefix_chars=args.prefix_chars,
+                            params_version=args.params_version)
+    if done is not None and not args.refresh:
+        # replace re-signed rows, keep the rest (MERGE-shaped upsert)
+        merged = done.join(signed.select("url"), "url", "left_anti").unionByName(signed)
+    else:
+        merged = signed
+    info = cat.write(merged, "signatures_status", params_hash="sign")
+    by_status = {r["status"]: r["n"] for r in
+                 cat.read(spark, "signatures_status")
+                 .groupBy("status").agg(F.count("*").alias("n")).collect()}
+    return {"verb": "sign", "rows": info.rows, "by_status": by_status}
+
+
+def cmd_problematic(args) -> dict:
+    """List signature rows in error statuses (cmd/app.go:175-197 +
+    files.ListProblematicFiles) — the status-column analog of the
+    reference's hash-sentinel scan."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators.signatures import PROBLEM_STATUSES
+
+    if not cat.exists("signatures_status"):
+        return {"verb": "problematic", "rows": 0, "sample": []}
+    bad = (
+        cat.read(spark, "signatures_status")
+        .filter(F.col("status").isin(*PROBLEM_STATUSES))
+        .orderBy("url")
+    )
+    n = bad.count()
+    sample = [r.asDict() for r in bad.limit(args.count or 20).collect()]
+    return {"verb": "problematic", "rows": n, "sample": sample}
+
+
+def cmd_hash_upgrade(args) -> dict:
+    """Selective re-sign of rows computed under an older params version
+    (files/hash_upgrade.go:17-99) — upgrade without recomputing
+    everything."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators.signatures import upgrade_signatures
+
+    if not cat.exists("signatures_status"):
+        raise SystemExit("no signatures_status table; run `sign` first")
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")
+    )
+    done = cat.read(spark, "signatures_status")
+    upgraded, stats = upgrade_signatures(done, docs, params_version=args.params_version)
+    if not args.dry_run:
+        cat.write(upgraded, "signatures_status", params_hash="sign")
+    return {"verb": "hash-upgrade", "dry_run": args.dry_run, **stats}
+
+
+def cmd_dedupe_group(args) -> dict:
+    """Group-scoped priority dedupe (files/group_dedup.go, `files
+    dedupe-group <group>`): members under the group's hosts, keepers by
+    (priority, domain), honoring the group's min/max copies."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators import actions, exact
+    from .sources.policy import PolicyStore
+
+    store = PolicyStore(spark, _catalog(args))
+    group = store.group_show(args.group)
+    policy_members = spark.createDataFrame(
+        [(m["host_name"], m["priority"]) for m in group["members"]] or
+        [(None, None)], "domain string, priority int",
+    ).filter(F.col("domain").isNotNull())
+
+    docs = _maybe_sample(spark.read.parquet(args.input))
+    sigs = exact.with_signature(
+        exact.valid_documents(
+            docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text"))
+        )
+    )
+    # group scoping: only urls whose domain is a member of the group
+    # (the reference scopes by the group's host+path rows)
+    hosts = [m["host_name"] for m in group["members"]]
+    scoped = sigs.filter(
+        F.substring_index(F.parse_url(F.col("url"), F.lit("HOST")), ".", 1).isin(hosts)
+        if hosts else F.lit(False)
+    )
+    members = exact.dup_members(scoped, exact.dup_groups(scoped, min_size=parse_size(args.min_size)))
+    elected = exact.elect_keepers_priority(
+        members, policy_members,
+        min_copies=group["min_copies"],
+        max_copies=group["max_copies"],
+        respect_limits=args.respect_limits,
+    )
+    plan = actions.plan_removals(elected)
+    summary = actions.plan_summary(plan).collect()[0].asDict()
+    if not args.dry_run:
+        cat.write(plan, f"dedupe_plan_{args.group}", params_hash="dedupe-group")
+    return {"verb": "dedupe-group", "group": args.group,
+            "dry_run": args.dry_run, **summary}
+
+
 def cmd_serve(args) -> dict:
     """S6: HTTP search service over a catalog table (cmd/server.go:79)."""
     spark = _spark(args)
@@ -334,6 +454,35 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hash-col", default="hash")
     s.add_argument("--size-col", default="size")
     s.set_defaults(fn=cmd_mirror_plan)
+
+    s = sub.add_parser("sign"); s.add_argument("--input", required=True)
+    s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.add_argument("--retry-problematic", action="store_true")
+    s.add_argument("--renew", action="store_true")
+    s.add_argument("--refresh", action="store_true")
+    s.add_argument("--size-blocking", action="store_true")
+    s.add_argument("--prefix-chars", type=int, default=None)
+    s.add_argument("--params-version", default="v2-full")
+    s.set_defaults(fn=cmd_sign)
+
+    s = sub.add_parser("problematic")
+    s.add_argument("--count", type=int, default=20)
+    s.set_defaults(fn=cmd_problematic)
+
+    s = sub.add_parser("hash-upgrade"); s.add_argument("--input", required=True)
+    s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.add_argument("--params-version", default="v2-full")
+    s.add_argument("--dry-run", action="store_true")
+    s.set_defaults(fn=cmd_hash_upgrade)
+
+    s = sub.add_parser("dedupe-group")
+    s.add_argument("group")
+    s.add_argument("--input", required=True)
+    s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")
+    s.add_argument("--min-size", default="0")
+    s.add_argument("--respect-limits", action="store_true")
+    s.add_argument("--dry-run", action="store_true")
+    s.set_defaults(fn=cmd_dedupe_group)
 
     s = sub.add_parser("serve")
     s.add_argument("--table", default="catalog")

@@ -159,3 +159,89 @@ def test_cli_hash_priority_paths(capsys, corpus, spark, tmp_path):
                         "--large-first", "--priority-path", prefix,
                         "--priority-path", prefix])
     assert out["rows"] == 600
+
+
+def test_cli_sign_problematic_retry_upgrade(capsys, spark, tmp_path):
+    """The reference's signature lifecycle through the CLI: sign with a
+    failing row -> problematic lists it -> the fixed input +
+    --retry-problematic heals it -> hash-upgrade re-signs legacy
+    partial hashes without touching current rows."""
+    import pandas as pd
+
+    cat = str(tmp_path / "cat")
+    rows = pd.DataFrame({
+        "url": [f"https://h.example/d{i}" for i in range(6)],
+        "text": ["alpha beta gamma", "delta epsilon", None,
+                 "zeta", "eta theta iota kappa", "abc"],
+    })
+    p = str(tmp_path / "docs.parquet"); rows.to_parquet(p)
+
+    # legacy partial signatures (first 4 chars), one hash_error row
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "sign",
+                        "--input", p, "--prefix-chars", "4",
+                        "--params-version", "v1-partial"])
+    assert out["rows"] == 6
+    assert out["by_status"] == {"ok": 5, "hash_error": 1}
+
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "problematic"])
+    assert out["rows"] == 1
+    assert out["sample"][0]["url"].endswith("/d2")
+
+    # the doc is fixed upstream; --retry-problematic re-signs only it
+    rows.loc[2, "text"] = "fixed now"
+    rows.to_parquet(p)
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "sign",
+                        "--input", p, "--retry-problematic",
+                        "--prefix-chars", "4", "--params-version", "v1-partial"])
+    assert out["by_status"] == {"ok": 6}
+
+    # upgrade: docs <= 4 chars have partial == full sha (unchanged);
+    # longer docs get re-signed under the new version
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "hash-upgrade",
+                        "--input", p, "--params-version", "v2-full"])
+    assert out["checked"] == 6
+    assert out["upgraded"] == 4          # the four docs longer than 4 chars
+    assert out["unchanged"] == 2         # "zeta", "abc"
+    assert out["failed"] == 0
+    # second upgrade is a no-op (everything already v2-full)
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "hash-upgrade",
+                        "--input", p, "--params-version", "v2-full"])
+    assert out["checked"] == 0
+
+
+def test_cli_dedupe_group(capsys, spark, tmp_path):
+    """files dedupe-group parity: keepers elected by the group's host
+    priorities, honoring min_copies, plan rows written unless --dry-run."""
+    import os
+
+    import pandas as pd
+
+    cat = str(tmp_path / "cat")
+    # same text on three hosts; 'b' has the best (lowest) priority
+    rows = pd.DataFrame({
+        "url": ["https://a.example/x", "https://b.example/y",
+                "https://c.example/z", "https://a.example/solo"],
+        "text": ["shared content here"] * 3 + ["unique text"],
+    })
+    p = str(tmp_path / "docs.parquet"); rows.to_parquet(p)
+
+    _run(capsys, ["--catalog", cat, "--cores", "8", "manage", "group-add",
+                  "media", "--min-copies", "1"])
+    for host, prio in (("a", 20), ("b", 5), ("c", 30)):
+        _run(capsys, ["--catalog", cat, "--cores", "8", "manage",
+                      "group-add-path", "media", host, f"/srv/{host}",
+                      "--priority", str(prio)])
+
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "dedupe-group",
+                        "media", "--input", p, "--dry-run"])
+    assert out["n_keepers"] == 1 and out["n_removals"] == 2
+    assert not os.path.exists(os.path.join(cat, "dedupe_plan_media"))
+
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "dedupe-group",
+                        "media", "--input", p])
+    assert out["n_keepers"] == 1 and out["n_removals"] == 2
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    plan = CheckpointCatalog(cat).read(spark, "dedupe_plan_media")
+    keeper = plan.filter("action = 'keep'").collect()
+    assert len(keeper) == 1 and keeper[0]["url"] == "https://b.example/y"
