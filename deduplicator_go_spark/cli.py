@@ -240,6 +240,12 @@ def cmd_manage(args) -> dict:
 
     store = PolicyStore(spark, _catalog(args))
     a, pos = args.action, args.pos
+    arity = {"group-add": 1, "group-delete": 1, "group-show": 1,
+             "group-list": 0, "group-add-path": 3, "group-remove-path": 2}
+    if len(pos) != arity[a]:
+        raise SystemExit(
+            f"manage {a} takes {arity[a]} positional argument(s), got {len(pos)}"
+        )
     if a == "group-add":            # group-add <group>
         store.group_add(pos[0], args.description or "",
                         args.min_copies, args.max_copies)
@@ -282,8 +288,11 @@ def cmd_sign(args) -> dict:
     )
     signed = sign_documents(queue, prefix_chars=args.prefix_chars,
                             params_version=args.params_version)
-    if done is not None and not args.refresh:
-        # replace re-signed rows, keep the rest (MERGE-shaped upsert)
+    if done is not None:
+        # replace re-signed rows, keep the rest (MERGE-shaped upsert).
+        # --refresh re-signs everything *in this input* but must never
+        # delete signatures for rows absent from it (the reference
+        # --refresh re-hashes; it does not drop out-of-scope rows).
         merged = done.join(signed.select("url"), "url", "left_anti").unionByName(signed)
     else:
         merged = signed

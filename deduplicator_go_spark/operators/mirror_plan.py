@@ -161,9 +161,12 @@ def group_mirror_plan(
     )
 
     # --- 5. destination-occupied check (:330-338) ------------------------
+    # normalize the catalog side through the same path cleaner as the
+    # elected clean_path: an uncleaned equivalent ('docs/./x') must
+    # still collide with the elected 'docs/x'
     occupied = cat.select(
         F.col("member").alias("dst_member"),
-        F.col("relpath").alias("clean_path"),
+        clean_rel_path(F.col("relpath")).alias("clean_path"),
         F.col("hash").alias("existing_hash"),
     ).distinct()
     with_occ = targets.join(occupied, ["dst_member", "clean_path"], "left")

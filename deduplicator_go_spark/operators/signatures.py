@@ -129,6 +129,13 @@ def upgrade_signatures(
       move to 'hash_error' (reference logs + skips);
     - everything else passes through untouched.
 
+    Input contract: ``docs`` must cover the signed corpus — a url
+    missing from it is treated as a disappeared document (the failed
+    branch: LAST-KNOWN-GOOD sha deliberately retained, status flipped
+    to 'hash_error' so --retry-problematic re-examines it). Passing a
+    partial corpus therefore flags its out-of-scope rows; scope the
+    upgrade input like the reference scopes its id range.
+
     Returns (upgraded_table, stats) — stats mirrors the reference's
     checked/upgraded/unchanged/failed counters. Lazy: one plan, no
     driver loop (the reference pages by id purely for DB-cursor

@@ -63,14 +63,20 @@ def brute_force_topk(
     """
     from .minhash import cpu_partitions
 
-    n = emb.count()
-    if n > max_rows:
+    # fence without a separate count() job (which would evaluate the
+    # whole input plan once more): collect at most max_rows+1 rows and
+    # check the overflow row
+    pdf = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"brute_force_topk is the bounded exact baseline: {n} rows > "
-            f"max_rows={max_rows} would collect the full table to the "
+            f"brute_force_topk is the bounded exact baseline: > "
+            f"max_rows={max_rows} rows would collect the full table to the "
             "driver. Use lsh_topk or ivf_topk for large reference sets."
         )
-    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
     ids = pdf["id"].to_numpy()
     mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

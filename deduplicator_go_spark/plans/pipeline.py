@@ -232,7 +232,10 @@ class DedupPipeline:
         report.stages.append(self._stage("dup_report", build_report))
 
         # input size from the valid_docs commit marker (parquet-footer
-        # lineage) — no extra scan job over the raw input
+        # lineage) — no extra scan job over the raw input. docs_in
+        # therefore means VALID documents (post blank-row filter), the
+        # population every downstream stage and the recall denominator
+        # actually operate on; raw-input row count stays with the caller.
         report.docs_in = self.catalog.table_rows("valid_docs")
         report.wall_sec = time.time() - t_start
         return report

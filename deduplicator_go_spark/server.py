@@ -122,13 +122,17 @@ class SearchService:
         query = query.strip()
         if not query:
             return []
-        df = self._df
-        hits = (
-            df.filter(F.contains(F.lower(F.col("path")), F.lit(query.lower())))
-            .orderBy(F.desc("id"))
-            .limit(limit)
-        )
-        return [r.asDict() for r in hits.collect()]
+        # serialized with delete(): a concurrent rewrite renames the
+        # backing table directory out from under an in-flight scan
+        with self._lock:
+            hits = (
+                self._df.filter(
+                    F.contains(F.lower(F.col("path")), F.lit(query.lower()))
+                )
+                .orderBy(F.desc("id"))
+                .limit(limit)
+            )
+            return [r.asDict() for r in hits.collect()]
 
     def delete(self, row_id: int) -> dict | None:
         """Remove an indexed row (analog of deleteIndexedFile — the DB
@@ -138,9 +142,13 @@ class SearchService:
             if not row:
                 return None
             path = row[0]["path"]
+            # eqNullSafe: a plain != would also silently drop NULL-path
+            # rows. id = xxhash64(path), so rows sharing a path share an
+            # identity — deleting the id deletes all of them, like the
+            # reference deleting one DB row per unique file identity.
             remaining = (
                 self.catalog.read(self.spark, self.table)
-                .filter(F.col("path") != path)
+                .filter(~F.col("path").eqNullSafe(F.lit(path)))
             )
             self.catalog.write(remaining, self.table, params_hash="serve-delete")
             self.refresh()

@@ -79,10 +79,21 @@ def run_incremental(
     re-run loop collapsed into a driver loop).  Returns rows appended
     across all ticks of this call.
 
+    CONTRACT: ``transform`` must be KEY-PRESERVING — emit at least one
+    output row per frontier key. A key the transform drops never
+    commits, so it re-enters every subsequent frontier: the queue can
+    neither drain it nor distinguish it from unprocessed work (no
+    termination rule fixes that — it is why the reference writes
+    sentinel hash values for failed files rather than skipping them,
+    files/hash.go:27-33, and why sign_documents emits status rows
+    instead of filtering failures). Keys that must be excluded belong
+    in a filter on ``inputs``; per-key failures belong in a status
+    column (operators/signatures.py).
+
     Termination is derived from lineage (rows after minus rows before
     each commit) — no extra ``batch.count()`` job recomputing the
-    frontier plan per tick, and a transform that filters every frontier
-    row (appended == 0) ends the loop instead of spinning to max_ticks.
+    frontier plan per tick. Under the contract, ``appended <
+    batch_limit`` ⇔ the frontier batch was short ⇔ drained.
     """
     catalog.incremental_begin(table, params_hash)  # may wipe on params change
     before = catalog.table_rows(table)

@@ -245,3 +245,29 @@ def test_cli_dedupe_group(capsys, spark, tmp_path):
     plan = CheckpointCatalog(cat).read(spark, "dedupe_plan_media")
     keeper = plan.filter("action = 'keep'").collect()
     assert len(keeper) == 1 and keeper[0]["url"] == "https://b.example/y"
+
+
+def test_cli_sign_refresh_keeps_out_of_scope_rows(capsys, tmp_path):
+    """--refresh re-signs the given input but must not delete
+    signatures for rows absent from it (review regression)."""
+    import pandas as pd
+
+    cat = str(tmp_path / "cat")
+    a = pd.DataFrame({"url": ["https://h/a1", "https://h/a2"],
+                      "text": ["one one", "two two"]})
+    b = pd.DataFrame({"url": ["https://h/b1"], "text": ["three three"]})
+    pa_ = str(tmp_path / "a.parquet"); a.to_parquet(pa_)
+    pb_ = str(tmp_path / "b.parquet"); b.to_parquet(pb_)
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "sign", "--input", pa_])
+    assert out["rows"] == 2
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "sign",
+                        "--input", pb_, "--refresh"])
+    assert out["rows"] == 3  # a1, a2 kept; b1 added
+
+
+def test_cli_manage_arity_errors(capsys, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--catalog", str(tmp_path / "cat"), "--cores", "8",
+              "manage", "group-add"])  # missing <group>

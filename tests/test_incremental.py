@@ -47,3 +47,36 @@ def test_staleness_filter(spark):
     )
     stale = [r["url"] for r in staleness_filter(df).collect()]
     assert stale == ["a"]
+
+
+def test_run_incremental_key_preserving_status_rows_drain(spark, tmp_path):
+    """The documented contract for per-key failures: emit status rows
+    (tombstones), never filter keys — then batched ticks drain the
+    whole frontier and failures stay queryable (the reference's
+    sentinel-hash pattern, files/hash.go:27-33)."""
+    from pyspark.sql import functions as F
+
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+    from deduplicator_go_spark.streaming.incremental import run_incremental
+
+    cat = CheckpointCatalog(str(tmp_path / "cat"))
+    inputs = spark.createDataFrame(
+        [(f"u{i:02d}", i) for i in range(20)], "url string, v int"
+    )
+
+    # odd v "fails": keep the key, mark the row — never drop it
+    def transform(batch):
+        return batch.select(
+            "url",
+            F.when(F.col("v") % 2 == 0, F.col("v")).alias("v"),
+            F.when(F.col("v") % 2 == 0, F.lit("ok")).otherwise(F.lit("error")).alias("status"),
+        )
+
+    total = run_incremental(
+        spark, cat, "signed", inputs, transform, key="url",
+        params_hash="t", batch_limit=5,
+    )
+    assert total == 20  # every key committed across 4 batches
+    out = cat.read(spark, "signed")
+    assert out.filter("status = 'error'").count() == 10
+    assert out.filter("status = 'ok' and v is null").count() == 0

@@ -121,3 +121,23 @@ def test_read_only_scope_refuses_delete(spark, tmp_path):
         assert status == 403 and "read-only" in body["error"]
     finally:
         server.shutdown()
+
+
+def test_delete_is_null_safe_and_by_identity(spark, tmp_path):
+    """Deleting one id must not drop NULL-path rows; rows sharing a path
+    share the id (identity = path) and go together (review regression)."""
+    cat = CheckpointCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("/dup/p.txt", "h1", 1), ("/dup/p.txt", "h1", 2),
+         (None, "h1", 3), ("/other.txt", "h1", 4)],
+        "path string, host string, size long",
+    )
+    cat.write(df, "catalog", params_hash="test")
+    service = SearchService(spark, cat, table="catalog", host="h1")
+    hits = service.search("dup/p", 10)
+    assert len(hits) == 2 and len({h["id"] for h in hits}) == 1
+    resp = service.delete(hits[0]["id"])
+    assert resp["removedDb"]
+    left = cat.read(spark, "catalog").collect()
+    paths = sorted((r["path"] or "<null>") for r in left)
+    assert paths == ["/other.txt", "<null>"]  # NULL row survived
