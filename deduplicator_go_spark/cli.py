@@ -9,6 +9,7 @@ Verb parity (reference → here):
   files list-dupes (files/duplicates.go:9)             → list-dupes
   files move-dupes (files/move.go:23)                  → move-dupes (plan)
   files prune  (files/prune.go)                        → prune
+  files import (files/import.go:23 classify+transfer)  → import-plan
   files mirror (files/mirror.go)                       → mirror-check
   files hash work-queue flags (files/hash.go:18-51)    → sign
   problematic  (cmd/app.go:175)                        → problematic
@@ -268,6 +269,43 @@ def cmd_manage(args) -> dict:
     raise SystemExit(f"unknown manage action: {a}")
 
 
+def cmd_import_plan(args) -> dict:
+    """files import parity (files/import.go ImportFiles), as a plan:
+    classify incoming rows against the catalog into transfer /
+    duplicate / skip_exists / skip_too_new actions. Input: a parquet
+    table (path,size,mod_time), a directory to --walk, or a path
+    listing."""
+    spark = _spark(args)
+    cat = _catalog(args)
+    from .operators.actions import import_summary, plan_import
+    from .sources.readers import read_binary_files, read_listing_text
+
+    if args.input.endswith(".parquet"):
+        incoming = spark.read.parquet(args.input)
+    elif args.walk:
+        incoming = read_binary_files(spark, args.input)
+    else:
+        incoming = read_listing_text(spark, args.input).select(
+            "path", F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("timestamp").alias("mod_time"),
+        )
+    stored = cat.read(spark, "catalog") if cat.exists("catalog") else None
+    plan = plan_import(
+        incoming, stored, key="path",
+        age_minutes=args.age, count=args.count,
+        duplicate_prefix=args.duplicate_prefix, dest_root=args.dest_root,
+    )
+    if not args.dry_run:
+        cat.write(plan, "import_plan", params_hash="import")
+        plan = cat.read(spark, "import_plan")
+    summary = {
+        r["action"]: {"n": r["n"], "bytes": r["bytes"],
+                      "human": format_size(int(r["bytes"]))}
+        for r in import_summary(plan).collect()
+    }
+    return {"verb": "import-plan", "dry_run": args.dry_run, "actions": summary}
+
+
 def cmd_sign(args) -> dict:
     """Status-column signature backfill (hash.go:18-51 work queue):
     --retry-problematic / --renew / --refresh compose the queue
@@ -463,6 +501,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hash-col", default="hash")
     s.add_argument("--size-col", default="size")
     s.set_defaults(fn=cmd_mirror_plan)
+
+    s = sub.add_parser("import-plan"); s.add_argument("--input", required=True)
+    s.add_argument("--walk", action="store_true")
+    s.add_argument("--age", type=int, default=0)        # minutes, 0 = off
+    s.add_argument("--count", type=int, default=None)
+    s.add_argument("--duplicate-prefix", default=None)
+    s.add_argument("--dest-root", default="/imported")
+    s.add_argument("--dry-run", action="store_true")
+    s.set_defaults(fn=cmd_import_plan)
 
     s = sub.add_parser("sign"); s.add_argument("--input", required=True)
     s.add_argument("--id-col", default="url"); s.add_argument("--text-col", default="text")

@@ -67,3 +67,78 @@ def apply_removals(catalog: DataFrame, plan: DataFrame, key: str = "url") -> Dat
     files/move.go:300-305)."""
     removals = plan.filter(F.col("action") == "remove").select(key)
     return catalog.join(removals, key, "left_anti")
+
+
+def plan_import(
+    incoming: DataFrame,
+    stored: DataFrame | None,
+    key: str = "path",
+    age_minutes: int = 0,
+    count: int | None = None,
+    duplicate_prefix: str | None = None,
+    dest_root: str = "",
+) -> DataFrame:
+    """S4/import parity (files/import.go:136-260 ImportFiles): classify
+    incoming rows against the stored catalog into an executable plan
+    (path, size, action, dest):
+
+    - ``skip_too_new``  — mod_time within ``age_minutes`` of now
+      (import.go:148-156 age gate);
+    - ``duplicate``     — key already cataloged; dest under
+      ``duplicate_prefix`` when given (import.go:199-216 move to the
+      duplicates dir), else ``skip_exists`` (import.go:245-250);
+    - ``transfer``      — new row, dest under ``dest_root``.
+
+    ``count`` bounds the non-skipped rows per run (import.go:159-162);
+    the reference stops at FS-walk order, here the bound is the
+    lexicographically-first ``count`` keys — deterministic across
+    retries (O7). Age/count gating composes with the incremental
+    frontier exactly like the reference's systemd re-runs: the next
+    run picks up where the bound cut off.
+    """
+    inc = incoming
+    too_new = (
+        (F.col("mod_time").isNotNull())
+        & (F.col("mod_time") > F.current_timestamp() - F.expr(f"INTERVAL {int(age_minutes)} MINUTES"))
+        if age_minutes > 0
+        else F.lit(False)
+    )
+    inc = inc.withColumn("_too_new", too_new)
+    if stored is not None:
+        hit = stored.select(F.col(key)).distinct().withColumn("_exists", F.lit(True))
+        inc = inc.join(hit, key, "left").withColumn(
+            "_exists", F.coalesce(F.col("_exists"), F.lit(False))
+        )
+    else:
+        inc = inc.withColumn("_exists", F.lit(False))
+    eligible = inc.filter(~F.col("_too_new"))
+    if count is not None:
+        eligible = eligible.orderBy(key).limit(count)
+    dup_action = F.lit("duplicate") if duplicate_prefix is not None else F.lit("skip_exists")
+    dup_dest = (
+        F.concat(F.lit(duplicate_prefix.rstrip("/") + "/"), F.col(key))
+        if duplicate_prefix is not None
+        else F.lit(None).cast("string")
+    )
+    planned = eligible.select(
+        key,
+        "size",
+        F.when(F.col("_exists"), dup_action).otherwise(F.lit("transfer")).alias("action"),
+        F.when(F.col("_exists"), dup_dest)
+        .otherwise(F.concat(F.lit(dest_root.rstrip("/") + "/"), F.col(key)))
+        .alias("dest"),
+    )
+    skipped = inc.filter(F.col("_too_new")).select(
+        key, "size", F.lit("skip_too_new").alias("action"),
+        F.lit(None).cast("string").alias("dest"),
+    )
+    return planned.unionByName(skipped).orderBy("action", key)
+
+
+def import_summary(plan: DataFrame) -> DataFrame:
+    """Per-action counts + byte totals (the reference's end-of-run
+    report, import.go:376-396)."""
+    return plan.groupBy("action").agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
+    )

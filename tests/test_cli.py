@@ -271,3 +271,49 @@ def test_cli_manage_arity_errors(capsys, tmp_path):
     with _pytest.raises(SystemExit):
         main(["--catalog", str(tmp_path / "cat"), "--cores", "8",
               "manage", "group-add"])  # missing <group>
+
+
+def test_cli_import_plan(capsys, spark, tmp_path):
+    """files import parity: incoming rows classify into transfer /
+    duplicate / skip_too_new against the catalog, with --count bounding
+    a run and the age gate composing (import.go:136-260)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    cat = str(tmp_path / "cat")
+    # seed the catalog with two known paths
+    listing = tmp_path / "seed.txt"
+    listing.write_text("a/kept.txt\na/dup.txt\n")
+    _run(capsys, ["--catalog", cat, "--cores", "8",
+                  "ingest", "--input", str(listing)])
+
+    now = dt.datetime.now(dt.timezone.utc)
+    incoming = pd.DataFrame({
+        "path": ["a/dup.txt", "b/new1.txt", "b/new2.txt", "b/fresh.txt"],
+        "size": [100, 200, 300, 400],
+        "mod_time": [now - dt.timedelta(hours=2)] * 3 + [now],  # fresh is too new
+    })
+    p = str(tmp_path / "incoming.parquet")
+    incoming.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "import-plan",
+                        "--input", p, "--age", "30",
+                        "--duplicate-prefix", "/dups", "--dry-run"])
+    acts = out["actions"]
+    assert acts["transfer"]["n"] == 2 and acts["transfer"]["bytes"] == 500
+    assert acts["duplicate"]["n"] == 1
+    assert acts["skip_too_new"]["n"] == 1 and acts["skip_too_new"]["bytes"] == 400
+    assert acts["transfer"]["human"] == "500 B"
+
+    # --count bounds eligible rows; plan persists when not --dry-run
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "import-plan",
+                        "--input", p, "--age", "30", "--count", "1",
+                        "--duplicate-prefix", "/dups"])
+    assert sum(v["n"] for k, v in out["actions"].items()
+               if k != "skip_too_new") == 1
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    plan = CheckpointCatalog(cat).read(spark, "import_plan")
+    dest = {r["path"]: r["dest"] for r in plan.collect()}
+    assert dest["a/dup.txt"] == "/dups/a/dup.txt"  # count=1 takes lexicographic first
