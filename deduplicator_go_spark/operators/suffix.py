@@ -38,15 +38,6 @@ from .lsh import candidate_pairs
 from .minhash import PrefixHash
 
 
-def _gram_hash_positions(text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, start_positions) of all k-grams — same rolling hash as
-    minhash.shingle_hashes but keeping positions and duplicates."""
-    if not text or len(text) < k:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    h = PrefixHash(text).window(k)
-    return h, np.arange(len(h), dtype=np.int64)
-
-
 def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "text") -> DataFrame:
     """(url, band_id=0, band_hash=anchor) — sampled k-gram hashes,
     shaped like an LSH band table so candidate_pairs() is reused."""

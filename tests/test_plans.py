@@ -80,3 +80,31 @@ def test_anti_join_stays_join_not_subquery_loop(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed("o_custkey", "c_custkey")
     p = plan_str(existence_antijoin(c, o, "c_custkey"))
     assert "LeftAnti" in p
+
+
+def test_verify_estimate_materialized_once(spark):
+    """The tiered verifier's clear/borderline branches must consume a
+    pinned estimate table: if the localCheckpoint is dropped, the two
+    full-signature joins (and the zip_with estimate) re-enter the final
+    union plan once per branch — the re-derivation class of defect that
+    doubled the stage cost (BENCH/EVIDENCE.md round 2)."""
+    from pyspark.sql import functions as F
+
+    from deduplicator_go_spark.operators.minhash import minhash_signatures
+    from deduplicator_go_spark.operators.verify import verify_pairs
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"some shared text body number {i % 3} padding words")
+         for i in range(12)],
+        "url string, text string",
+    )
+    sigs = minhash_signatures(docs, 5, 32, 42)
+    pairs = spark.createDataFrame(
+        [("u0", "u3", "pair"), ("u1", "u4", "pair"), ("u2", "u5", "pair")],
+        "url_a string, url_b string, origin string",
+    )
+    out = verify_pairs(pairs, docs, 5, 0.8, sigs=sigs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the estimate (zip_with over sig arrays) was computed before the
+    # checkpoint; it must not appear in the consuming plan at all
+    assert "zip_with" not in plan, plan[:2000]
