@@ -88,7 +88,7 @@ def cmd_ingest(args) -> dict:
         stored = cat.read(spark, "catalog")
         merged = upsert(stored, incoming, ["path"], ["size", "hash"])
     else:
-        merged = incoming
+        merged = incoming.dropDuplicates(["path"])  # ON CONFLICT parity
     info = cat.write(merged, "catalog", params_hash="ingest")
     return {"verb": "ingest", "rows": info.rows}
 
@@ -142,18 +142,23 @@ def cmd_list_dupes(args) -> dict:
 
     docs = _maybe_sample(spark.read.parquet(args.input))
     min_size = parse_size(args.min_size)
+    # sigs and the group table feed several downstream jobs (top-N,
+    # members, savings, count + collect): pin both once instead of
+    # re-running the sha scan per job (the multi-consumer rule,
+    # SCALE.md / BENCH/EVIDENCE.md round 2)
     sigs = exact.with_signature(
         exact.valid_documents(
             docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text"),
                         *(["lang"] if "lang" in docs.columns else []))
         )
-    )
-    groups = exact.top_groups(exact.dup_groups(sigs, min_size=min_size), limit=args.count)
+    ).localCheckpoint(eager=True)
+    all_groups = exact.dup_groups(sigs, min_size=min_size).localCheckpoint(eager=True)
+    groups = exact.top_groups(all_groups, limit=args.count)
     members = exact.assemble_groups(exact.dup_members(sigs, groups))
-    ordered = members.orderBy(F.desc("total_size"), "content_sha")
+    ordered = members.orderBy(F.desc("total_size"), "content_sha").localCheckpoint(eager=True)
     n_groups = ordered.count()
     sample = [r.asDict() for r in ordered.limit(5).collect()]  # slice before collect
-    sav = exact.savings(exact.dup_groups(sigs, min_size=min_size)).collect()[0].asDict()
+    sav = exact.savings(all_groups).collect()[0].asDict()
     if sav.get("savings_bytes") is not None:
         sav["savings_human"] = format_size(int(sav["savings_bytes"]))
     return {"verb": "list-dupes", "groups": n_groups, "savings": sav,
@@ -182,11 +187,16 @@ def cmd_prune(args) -> dict:
     cat = _catalog(args)
     from .operators.joins import prune_missing
 
-    stored = _maybe_sample(cat.read(spark, "catalog"))
+    stored = cat.read(spark, "catalog")
     from .sources.readers import read_listing_text
 
     live = read_listing_text(spark, args.input)
-    dead = prune_missing(stored, live, "path")
+    # the O8 sampling profile bounds what gets CHECKED this run (the
+    # reference limits its SELECT the same way, prune.go:80); the
+    # rewrite below is full-stored minus dead — never the sample, which
+    # would silently delete every catalog row outside it
+    checked = _maybe_sample(stored)
+    dead = prune_missing(checked, live, "path").localCheckpoint(eager=True)
     n_dead = dead.count()
     if not args.dry_run:
         remaining = stored.join(dead.select("path"), "path", "left_anti")
@@ -324,8 +334,13 @@ def cmd_sign(args) -> dict:
         renew=args.renew, refresh=args.refresh,
         size_blocking=args.size_blocking,
     )
+    # partial hashes must never carry the full-hash version stamp, or
+    # hash-upgrade (params_version != current) can never find them
+    version = args.params_version or (
+        f"v1-partial-{args.prefix_chars}" if args.prefix_chars else "v2-full"
+    )
     signed = sign_documents(queue, prefix_chars=args.prefix_chars,
-                            params_version=args.params_version)
+                            params_version=version)
     if done is not None:
         # replace re-signed rows, keep the rest (MERGE-shaped upsert).
         # --refresh re-signs everything *in this input* but must never
@@ -404,11 +419,14 @@ def cmd_dedupe_group(args) -> dict:
         )
     )
     # group scoping: only urls whose domain is a member of the group
-    # (the reference scopes by the group's host+path rows)
+    # (the reference scopes by the group's host+path rows) — same
+    # url_domain expression keeper election uses, so scoping and
+    # election can never disagree on what a 'domain' is
+    from .functions.url import url_domain
+
     hosts = [m["host_name"] for m in group["members"]]
     scoped = sigs.filter(
-        F.substring_index(F.parse_url(F.col("url"), F.lit("HOST")), ".", 1).isin(hosts)
-        if hosts else F.lit(False)
+        url_domain(F.col("url")).isin(hosts) if hosts else F.lit(False)
     )
     members = exact.dup_members(scoped, exact.dup_groups(scoped, min_size=parse_size(args.min_size)))
     elected = exact.elect_keepers_priority(
@@ -518,7 +536,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--refresh", action="store_true")
     s.add_argument("--size-blocking", action="store_true")
     s.add_argument("--prefix-chars", type=int, default=None)
-    s.add_argument("--params-version", default="v2-full")
+    s.add_argument("--params-version", default=None)  # derived if unset
     s.set_defaults(fn=cmd_sign)
 
     s = sub.add_parser("problematic")

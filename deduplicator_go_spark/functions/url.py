@@ -10,11 +10,15 @@ from pyspark.sql import functions as F
 
 
 def url_host(url: Column) -> Column:
-    return F.parse_url(url, F.lit("HOST"))
+    # try_parse_url, not parse_url: under Spark 4 ANSI mode (on in this
+    # engine) parse_url THROWS on any malformed url, aborting the whole
+    # job; try_ yields NULL, which downstream COALESCE/priority defaults
+    # already handle
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def url_path(url: Column) -> Column:
-    return F.parse_url(url, F.lit("PATH"))
+    return F.try_parse_url(url, F.lit("PATH"))
 
 
 def url_domain(url: Column) -> Column:
@@ -35,9 +39,12 @@ def url_normalize(url: Column) -> Column:
 
 
 def relative_to_prefix(url: Column, prefix) -> Column:
-    """Strip a prefix (archiveRelativePath analog); null if not under it."""
+    """Strip a prefix (archiveRelativePath analog); null if not under it.
+
+    Built from the passed column (the old form hardcoded a column named
+    'url' inside F.expr and broke on Column prefixes)."""
     p = F.lit(prefix) if isinstance(prefix, str) else prefix
-    return F.when(url.startswith(p), F.expr(f"substring(url, {len(prefix) + 1})"))
+    return F.when(url.startswith(p), F.substring(url, F.length(p) + 1, F.length(url)))
 
 
 def is_under(url: Column, prefix: str) -> Column:

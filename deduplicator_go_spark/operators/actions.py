@@ -89,12 +89,16 @@ def plan_import(
       duplicates dir), else ``skip_exists`` (import.go:245-250);
     - ``transfer``      — new row, dest under ``dest_root``.
 
-    ``count`` bounds the non-skipped rows per run (import.go:159-162);
-    the reference stops at FS-walk order, here the bound is the
-    lexicographically-first ``count`` keys — deterministic across
-    retries (O7). Age/count gating composes with the incremental
-    frontier exactly like the reference's systemd re-runs: the next
-    run picks up where the bound cut off.
+    ``count`` bounds the WORK rows per run — transfers, plus duplicate
+    moves when ``duplicate_prefix`` routes them (import.go:159-162
+    counts every visited file, but its duplicate-dir move physically
+    drains the source; a declarative plan does not, so counting no-op
+    skip_exists rows against the bound would pin repeated bounded runs
+    to the same already-cataloged keys forever). Skip rows pass through
+    unbounded (informational, like the reference's SKIP prints). The
+    bound is the lexicographically-first ``count`` work keys —
+    deterministic across retries (O7); re-runs compose like the
+    reference's systemd loop once a mover consumes the plan.
     """
     inc = incoming
     too_new = (
@@ -111,16 +115,13 @@ def plan_import(
         )
     else:
         inc = inc.withColumn("_exists", F.lit(False))
-    eligible = inc.filter(~F.col("_too_new"))
-    if count is not None:
-        eligible = eligible.orderBy(key).limit(count)
     dup_action = F.lit("duplicate") if duplicate_prefix is not None else F.lit("skip_exists")
     dup_dest = (
         F.concat(F.lit(duplicate_prefix.rstrip("/") + "/"), F.col(key))
         if duplicate_prefix is not None
         else F.lit(None).cast("string")
     )
-    planned = eligible.select(
+    classified = inc.filter(~F.col("_too_new")).select(
         key,
         "size",
         F.when(F.col("_exists"), dup_action).otherwise(F.lit("transfer")).alias("action"),
@@ -128,6 +129,10 @@ def plan_import(
         .otherwise(F.concat(F.lit(dest_root.rstrip("/") + "/"), F.col(key)))
         .alias("dest"),
     )
+    work = classified.filter(F.col("action") != "skip_exists")
+    if count is not None:
+        work = work.orderBy(key).limit(count)
+    planned = work.unionByName(classified.filter(F.col("action") == "skip_exists"))
     skipped = inc.filter(F.col("_too_new")).select(
         key, "size", F.lit("skip_too_new").alias("action"),
         F.lit(None).cast("string").alias("dest"),

@@ -145,10 +145,11 @@ def elect_keepers_priority(
     policy_members(domain, priority) is a tiny policy table →
     broadcast join (reference J2/J3 joins host/member metadata the
     same way)."""
-    # parse_url is native and null-safe (no ANSI array-index pitfalls)
-    m = members.withColumn(
-        "domain", F.substring_index(F.parse_url(F.col("url"), F.lit("HOST")), ".", 1)
-    )
+    from ..functions.url import url_domain
+
+    # url_domain is try_parse_url-based: malformed urls yield NULL
+    # domain (→ default priority) instead of an ANSI INVALID_URL abort
+    m = members.withColumn("domain", url_domain(F.col("url")))
     m = m.join(F.broadcast(policy_members), "domain", "left").withColumn(
         "priority", F.coalesce(F.col("priority"), F.lit(100))
     )

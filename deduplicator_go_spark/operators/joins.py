@@ -69,22 +69,27 @@ def change_detection(
 
     → incoming columns + ``change`` ∈ {insert, update, unchanged}.
     """
-    s = stored.select(*keys, *[F.col(c).alias(f"__old_{c}") for c in compare])
+    # explicit existence marker: inferring a match from old-column
+    # nullness misclassifies stored rows whose compare columns are all
+    # NULL (e.g. listing-only catalog rows) as inserts on every run
+    s = stored.select(
+        *keys,
+        *[F.col(c).alias(f"__old_{c}") for c in compare],
+        F.lit(True).alias("__matched"),
+    )
     joined = incoming.join(s, keys, "left")
     changed = None
     for c in compare:
         neq = ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
         changed = neq if changed is None else (changed | neq)
-    matched = F.lit(False)
-    for c in compare:
-        matched = matched | F.col(f"__old_{c}").isNotNull()
+    matched = F.coalesce(F.col("__matched"), F.lit(False))
     out = joined.withColumn(
         "change",
         F.when(~matched, F.lit("insert"))
         .when(changed, F.lit("update"))
         .otherwise(F.lit("unchanged")),
     )
-    return out.drop(*[f"__old_{c}" for c in compare])
+    return out.drop("__matched", *[f"__old_{c}" for c in compare])
 
 
 def prune_missing(catalog: DataFrame, listing: DataFrame, key: str | list[str]) -> DataFrame:

@@ -56,6 +56,9 @@ def upsert(
     Reference: ON CONFLICT (path, hostname) DO UPDATE
     (files/process.go:53-58) and the skip-unchanged check
     (files/process.go:369-393)."""
+    # one row per key, like ON CONFLICT: a listing repeating a path
+    # must not produce duplicate catalog rows
+    incoming = incoming.dropDuplicates(keys)
     classified = change_detection(incoming, stored, keys, compare)
     changed_keys = classified.filter(F.col("change") != "unchanged").select(*keys)
     kept = stored.join(changed_keys, keys, "left_anti")

@@ -317,3 +317,88 @@ def test_cli_import_plan(capsys, spark, tmp_path):
     plan = CheckpointCatalog(cat).read(spark, "import_plan")
     dest = {r["path"]: r["dest"] for r in plan.collect()}
     assert dest["a/dup.txt"] == "/dups/a/dup.txt"  # count=1 takes lexicographic first
+
+
+def test_cli_prune_sampling_never_deletes_unchecked_rows(capsys, tmp_path, monkeypatch):
+    """ENVIRONMENT=local bounds what prune CHECKS, never what it keeps:
+    the rewrite must be full-catalog minus dead (review regression —
+    rewriting from the sample silently dropped every unsampled row)."""
+    cat = str(tmp_path / "cat")
+    listing = tmp_path / "all.txt"
+    paths = [f"/d/f{i:03d}" for i in range(40)]
+    listing.write_text("\n".join(paths) + "\n")
+    _run(capsys, ["--catalog", cat, "--cores", "8", "ingest", "--input", str(listing)])
+
+    live = tmp_path / "live.txt"
+    live.write_text("\n".join(paths[1:]) + "\n")  # f000 is dead
+    monkeypatch.setenv("ENVIRONMENT", "local")
+    monkeypatch.setenv("DEDUP_SAMPLE_LIMIT", "5")  # check only 5 rows
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "prune", "--input", str(live)])
+    assert out["removed"] <= 5  # at most the checked sample can die
+    monkeypatch.delenv("ENVIRONMENT")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "prune", "--input", str(live), "--dry-run"])
+    # everything except (possibly) f000 must still be cataloged
+    assert out["removed"] in (0, 1)
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+    from deduplicator_go_spark.session import get_spark
+
+    n = CheckpointCatalog(cat).read(get_spark("t", cores=8), "catalog").count()
+    assert n >= 39
+
+
+def test_cli_ingest_dedupes_repeated_listing_lines(capsys, tmp_path):
+    """ON CONFLICT parity: a listing repeating a path yields one catalog
+    row, and re-ingesting an unchanged listing is idempotent (the
+    all-NULL compare columns must classify as unchanged, not insert)."""
+    cat = str(tmp_path / "cat")
+    listing = tmp_path / "l.txt"
+    listing.write_text("/a/x\n/a/x\n/a/y\n")
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "ingest", "--input", str(listing)])
+    assert out["rows"] == 2
+    out = _run(capsys, ["--catalog", cat, "--cores", "8",
+                        "ingest", "--input", str(listing)])
+    assert out["rows"] == 2  # re-ingest stays 2 (no duplicate inserts)
+
+
+def test_cli_dedupe_group_survives_malformed_urls(capsys, spark, tmp_path):
+    """ANSI parse_url throws on malformed urls; the engine must yield
+    NULL domain (default priority) instead of aborting the job."""
+    import pandas as pd
+
+    cat = str(tmp_path / "cat")
+    rows = pd.DataFrame({
+        "url": ["https://a.example/x", "https://b.example/y", "notaurl %% ^"],
+        "text": ["same text", "same text", "same text"],
+    })
+    p = str(tmp_path / "docs.parquet"); rows.to_parquet(p)
+    _run(capsys, ["--catalog", cat, "--cores", "8", "manage", "group-add",
+                  "g", "--min-copies", "1"])
+    _run(capsys, ["--catalog", cat, "--cores", "8", "manage",
+                  "group-add-path", "g", "a", "/srv/a", "--priority", "1"])
+    _run(capsys, ["--catalog", cat, "--cores", "8", "manage",
+                  "group-add-path", "g", "b", "/srv/b", "--priority", "2"])
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "dedupe-group",
+                        "g", "--input", p, "--dry-run"])
+    # the malformed url is outside the group scope (NULL domain); the
+    # two scoped copies elect one keeper
+    assert out["n_keepers"] == 1 and out["n_removals"] == 1
+
+
+def test_cli_sign_partial_default_version_upgradeable(capsys, tmp_path):
+    """--prefix-chars without an explicit --params-version must stamp a
+    distinct legacy version so hash-upgrade can select those rows."""
+    import pandas as pd
+
+    cat = str(tmp_path / "cat")
+    rows = pd.DataFrame({"url": ["https://h/a", "https://h/b"],
+                         "text": ["x" * 300, "y" * 300]})
+    p = str(tmp_path / "docs.parquet"); rows.to_parquet(p)
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "sign",
+                        "--input", p, "--prefix-chars", "100"])
+    assert out["by_status"] == {"ok": 2}
+    out = _run(capsys, ["--catalog", cat, "--cores", "8", "hash-upgrade",
+                        "--input", p])
+    assert out["checked"] == 2 and out["upgraded"] == 2

@@ -236,3 +236,40 @@ def test_media_stats_and_exact_dups(media):
     assert stats == {"image": 2, "audio": 1, "video": 1}
     dups = multimodal.exact_dup_media(media).collect()
     assert sorted(r["media_id"] for r in dups) == ["m1", "m2"]
+
+
+def test_relative_to_prefix_arbitrary_column(spark):
+    """relative_to_prefix must work on any column name and Column
+    prefixes (review regression: it hardcoded 'url' inside F.expr)."""
+    from pyspark.sql import functions as F
+
+    from deduplicator_go_spark.functions.url import relative_to_prefix
+
+    df = spark.createDataFrame(
+        [("/archive/a/b.txt",), ("/other/c.txt",)], "path string"
+    )
+    got = df.select(
+        relative_to_prefix(F.col("path"), "/archive/").alias("rel"),
+        relative_to_prefix(F.col("path"), F.lit("/other/")).alias("rel2"),
+    ).collect()
+    assert got[0]["rel"] == "a/b.txt" and got[0]["rel2"] is None
+    assert got[1]["rel"] is None and got[1]["rel2"] == "c.txt"
+
+
+def test_plan_import_count_bounds_work_not_skips(spark):
+    """--count must bound work rows (transfer/duplicate); no-op
+    skip_exists rows cannot pin repeated bounded runs to the same
+    already-cataloged keys (review regression)."""
+    from deduplicator_go_spark.operators.actions import plan_import
+
+    incoming = spark.createDataFrame(
+        [(f"a{i:02d}", 10, None) for i in range(5)]  # cataloged: sort first
+        + [(f"z{i:02d}", 20, None) for i in range(3)],  # new
+        "path string, size long, mod_time timestamp",
+    )
+    stored = spark.createDataFrame([(f"a{i:02d}",) for i in range(5)], "path string")
+    plan = plan_import(incoming, stored, count=2)  # no duplicate_prefix
+    rows = {r["path"]: r["action"] for r in plan.collect()}
+    transfers = [p for p, a in rows.items() if a == "transfer"]
+    assert sorted(transfers) == ["z00", "z01"]  # 2 WORK rows, not 0
+    assert all(rows[f"a{i:02d}"] == "skip_exists" for i in range(5))
