@@ -33,6 +33,11 @@ class DedupConfig:
     band_pair_cap: int = 64          # buckets larger than this switch to
                                      # salted chaining instead of all-pairs
     band_salt: int = 16              # sub-buckets for hot bands
+    # broadcast the collision-sizes table in candidate generation:
+    # right when collisions are sparse (typical banding); set False at
+    # extreme dup density, where that table itself is too big to
+    # broadcast and the join must degrade to shuffle
+    lsh_collision_broadcast: bool = True
 
     # --- verification / clustering ---
     verify_threshold: float = 0.80   # exact char-shingle Jaccard cut

@@ -130,6 +130,13 @@ def batch_window_hashes(texts, k: int, clamp_short: bool = False) -> list[np.nda
     semantics that keeps distinct tiny docs distinct); False returns
     empty for them (the anchor semantics — a doc shorter than the
     anchor gram has no anchors).
+
+    The concatenation is processed in doc-aligned chunks of
+    ~_CONCAT_SEG chars: the power-table cache (16 bytes/char, process
+    lifetime) is otherwise sized by the LARGEST batch concat ever seen
+    — at multi-100KB docs that is gigabytes per Python worker. A doc
+    longer than the segment gets its own chunk (tables then grow to
+    that one doc's length, same as the per-doc path).
     """
     txts = [t if isinstance(t, str) else "" for t in texts]
     lens = np.fromiter((len(t) for t in txts), dtype=np.int64, count=len(txts))
@@ -141,16 +148,29 @@ def batch_window_hashes(texts, k: int, clamp_short: bool = False) -> list[np.nda
             return empty
         return PrefixHash(t).window(len(t))
 
-    concat = "".join(txts)
-    if k <= 0 or len(concat) < k:
-        return [short(t) for t in txts]
-    hw = PrefixHash(concat).window(k)
-    offs = np.zeros(len(txts) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    return [
-        hw[offs[i] : offs[i] + lens[i] - k + 1] if lens[i] >= k else short(txts[i])
-        for i in range(len(txts))
-    ]
+    out: list[np.ndarray] = [empty] * len(txts)
+    if k <= 0:
+        return out
+    i = 0
+    while i < len(txts):
+        j, seg = i, 0
+        while j < len(txts) and (seg == 0 or seg + lens[j] <= _CONCAT_SEG):
+            seg += lens[j]
+            j += 1
+        chunk = txts[i:j]
+        concat = "".join(chunk)
+        if len(concat) >= k:
+            hw = PrefixHash(concat).window(k)
+            off = 0
+            for d in range(i, j):
+                n = lens[d]
+                out[d] = hw[off : off + n - k + 1] if n >= k else short(txts[d])
+                off += n
+        else:
+            for d in range(i, j):
+                out[d] = short(txts[d])
+        i = j
+    return out
 
 
 # Segment size (uint64 elements) for the permutation loop. The loop
@@ -161,6 +181,10 @@ def batch_window_hashes(texts, k: int, clamp_short: bool = False) -> list[np.nda
 # bandwidth saturated). A ~2 MB segment stays cache-resident across all
 # permutations, so DRAM traffic drops from num_perm passes to one.
 _SEG_ELEMS = 262_144
+
+# Chunk bound (chars) for batch_window_hashes' concatenation: bounds the
+# process-lifetime power-table cache to ~16 B/char × this (±1 doc).
+_CONCAT_SEG = 2_097_152
 
 
 def _batch_minhash(texts: pd.Series, k: int, a: np.ndarray, b: np.ndarray) -> pd.Series:

@@ -113,13 +113,10 @@ def verify_substr_pairs(
     """→ (url_a, url_b, lcs_len, has_block). Expensive stage — runs only
     on anchor-blocked candidates."""
     from .minhash import cpu_partitions
+    from .verify import attach_texts
 
-    texts = docs.select("url", "text")
-    joined = (
-        pairs.join(texts.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
-        .join(texts.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
-        .repartition(cpu_partitions(pairs))  # CPU-bound LCS: use all cores
-    )
+    # CPU-bound LCS: use all cores
+    joined = attach_texts(pairs, docs).repartition(cpu_partitions(pairs))
 
     @F.pandas_udf(T.LongType())
     def lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -160,6 +157,7 @@ def substr_pairs(
     salt: int = 16,
     exclude_pairs: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    collision_broadcast: bool = True,
 ) -> DataFrame:
     """Full substring pass: anchors → blocked candidates → exact verify.
 
@@ -172,8 +170,14 @@ def substr_pairs(
       byte-identical (exact dup groups trivially share every block).
     Both classes are already clustered upstream; re-running LCS on them
     is the dominant wasted cost otherwise."""
+    # docs shorter than min_len cannot hold a qualifying block
+    # (LCS <= min(len)): dropping them up front removes their anchor
+    # explode, candidate shuffle, and text-attach join entirely
+    docs = docs.filter(F.length("text") >= min_len)
     anchors = anchor_table(docs, anchor_k, anchor_mod)
-    cands = candidate_pairs(anchors, pair_cap, salt).select("url_a", "url_b")
+    cands = candidate_pairs(
+        anchors, pair_cap, salt, collision_broadcast=collision_broadcast
+    ).select("url_a", "url_b")
     if exclude_pairs is not None:
         cands = cands.join(
             exclude_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"

@@ -159,6 +159,7 @@ class DedupPipeline:
                     band_table(self._read("minhash_sigs"), c.lsh_bands, c.lsh_rows),
                     c.band_pair_cap,
                     c.band_salt,
+                    collision_broadcast=c.lsh_collision_broadcast,
                 ),
             )
         )
@@ -189,6 +190,7 @@ class DedupPipeline:
                     c.band_salt,
                     exclude_pairs=self._read("verified_pairs").filter("is_dup"),
                     sigs=self._read("exact_sigs"),
+                    collision_broadcast=c.lsh_collision_broadcast,
                 )
 
             report.stages.append(self._stage("substr_pairs", build_substr))

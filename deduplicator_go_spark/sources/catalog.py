@@ -99,7 +99,8 @@ class CheckpointCatalog:
         path = self.table_path(name)
         if os.path.exists(path):
             shutil.rmtree(path)
-        for side in (self._marker(name), self._params_sidecar(name)):
+        for side in (self._marker(name), self._params_sidecar(name),
+                     self._frags_sidecar(name)):
             if os.path.exists(side):
                 os.remove(side)
 
@@ -146,9 +147,16 @@ class CheckpointCatalog:
             os.remove(marker)
 
         if mode == "overwrite":
+            # clean ALL orphaned temp dirs for this table, not just this
+            # run's: a kill between tmp-write and rename leaves a
+            # full-size copy under a dead run_id that no later run would
+            # otherwise touch (the catalog is single-writer by contract,
+            # so any existing tmp-* is garbage)
+            import glob as _glob
+
+            for stale in _glob.glob(path + ".tmp-*"):
+                shutil.rmtree(stale, ignore_errors=True)
             tmp = path + f".tmp-{self.run_id}"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
@@ -165,7 +173,7 @@ class CheckpointCatalog:
             raise ValueError(mode)
 
         wall_ms = int((time.time() - t0) * 1000)
-        rows = self._record_lineage(name, params_hash, wall_ms)
+        rows = self._record_lineage(name, params_hash, wall_ms, reset=(mode == "overwrite"))
         info = CommitInfo(
             stage=name,
             run_id=self.run_id,
@@ -179,35 +187,60 @@ class CheckpointCatalog:
         os.replace(marker + ".tmp", marker)
         return info
 
-    def _record_lineage(self, name: str, params_hash: str, wall_ms: int) -> int:
+    def _frags_sidecar(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}_FRAGS.json")
+
+    def _record_lineage(self, name: str, params_hash: str, wall_ms: int,
+                        reset: bool = True) -> int:
         """Per-output-file row counts from parquet footers (metadata-only
-        read — no data scan)."""
+        read — no data scan). Returns the table's TOTAL rows.
+
+        Lineage rows are emitted only for files not recorded before
+        (tracked in a per-table sidecar, reset on overwrite): an
+        append-mode tick would otherwise re-record every prior tick's
+        files — duplicated lineage rows, re-attributed to the wrong
+        run/wall, quadratic over a long incremental backfill."""
         import pyarrow as pa
 
         path = self.table_path(name)
+        side = self._frags_sidecar(name)
+        seen: set[str] = set()
+        if not reset and os.path.exists(side):
+            with open(side) as f:
+                seen = set(json.load(f))
         frags = []
         total = 0
+        all_names = []
         ds = pads.dataset(path, format="parquet")
-        for i, frag in enumerate(ds.get_fragments()):
+        for frag in ds.get_fragments():
             md = frag.metadata if hasattr(frag, "metadata") else None
             nrows = md.num_rows if md is not None else frag.count_rows()
-            nbytes = os.path.getsize(frag.path) if os.path.exists(frag.path) else 0
+            base = os.path.basename(frag.path)
             total += nrows
+            all_names.append(base)
+            if base in seen:
+                continue
             frags.append(
                 {
                     "run_id": self.run_id,
                     "stage": name,
-                    "partition": os.path.basename(frag.path),
+                    "partition": base,
                     "rows": nrows,
-                    "bytes": nbytes,
+                    "bytes": os.path.getsize(frag.path) if os.path.exists(frag.path) else 0,
                     "wall_ms": wall_ms,
                     "params_hash": params_hash,
                     "completed_at": time.time(),
                 }
             )
-        table = pa.Table.from_pylist(frags)
-        out = os.path.join(self._lineage_dir(), f"{name}-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet")
-        papq.write_table(table, out)
+        if frags:
+            table = pa.Table.from_pylist(frags)
+            out = os.path.join(
+                self._lineage_dir(), f"{name}-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            papq.write_table(table, out)
+        with open(side + ".tmp", "w") as f:
+            json.dump(sorted(all_names), f)
+        os.replace(side + ".tmp", side)
         return total
 
     def lineage(self, spark: SparkSession) -> DataFrame:

@@ -80,3 +80,41 @@ def test_run_incremental_key_preserving_status_rows_drain(spark, tmp_path):
     out = cat.read(spark, "signed")
     assert out.filter("status = 'error'").count() == 10
     assert out.filter("status = 'ok' and v is null").count() == 0
+
+
+def test_append_lineage_records_each_file_once(spark, tmp_path):
+    """Append-mode ticks must not re-record prior ticks' files: lineage
+    rows stay one per output file with the run that actually wrote it
+    (review regression: quadratic duplicate lineage)."""
+    from pyspark.sql import functions as F
+
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(str(tmp_path / "cat"))
+    for tick in range(3):
+        df = spark.createDataFrame([(f"u{tick}-{i}",) for i in range(4)], "url string")
+        info = cat.write(df.repartition(2), "inc", params_hash="p", mode="append")
+    assert info.rows == 12  # commit info still totals the whole table
+    lin = cat.lineage(spark).filter("stage = 'inc'")
+    per_file = lin.groupBy("partition").agg(F.count("*").alias("n"))
+    assert per_file.filter("n > 1").count() == 0  # each file exactly once
+    assert lin.agg(F.sum("rows")).collect()[0][0] == 12
+
+
+def test_overwrite_cleans_orphan_tmp_dirs(spark, tmp_path):
+    """A killed run's leftover .tmp-<dead-run> copy is removed by the
+    next overwrite of the same table (review regression: orphaned
+    full-size table copies accumulate)."""
+    import os
+
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    root = str(tmp_path / "cat")
+    c1 = CheckpointCatalog(root, run_id="deadrun")
+    orphan = c1.table_path("t") + ".tmp-deadrun"
+    os.makedirs(orphan)
+    c2 = CheckpointCatalog(root, run_id="liverun")
+    df = spark.createDataFrame([(1,)], "x int")
+    c2.write(df, "t", params_hash="p")
+    assert not os.path.exists(orphan)
+    assert c2.read(spark, "t").count() == 1

@@ -120,3 +120,19 @@ def test_batch_window_hashes_parity():
             want_plain = (PrefixHash(t).window(k) if len(t) >= k
                           else np.empty(0, np.uint64))
             assert np.array_equal(p, want_plain)
+
+
+def test_batch_window_hashes_chunked_parity(monkeypatch):
+    """Chunking the batch concatenation (power-table memory bound) must
+    not change any hash: force tiny chunks and compare to one-shot."""
+    import numpy as np
+
+    from deduplicator_go_spark.operators import minhash as MH
+
+    texts = [f"text number {i} with some padding words {i}" * (i % 7 + 1)
+             for i in range(40)] + ["", "ab"]
+    want = MH.batch_window_hashes(texts, 5, clamp_short=True)
+    monkeypatch.setattr(MH, "_CONCAT_SEG", 97)  # force many tiny chunks
+    got = MH.batch_window_hashes(texts, 5, clamp_short=True)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
