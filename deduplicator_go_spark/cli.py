@@ -45,17 +45,22 @@ def dedupe_args(values: list[str] | None) -> list[str]:
     return list(dict.fromkeys(v.strip() for v in values or [] if v and v.strip()))
 
 
-def _maybe_sample(df: DataFrame) -> DataFrame:
-    """O8: ENVIRONMENT=local applies a random LIMIT 1000-1099 to input
-    reads for quick iteration (files/utils.go:17-27, applied by
-    prune.go:67,80). DEDUP_SAMPLE_LIMIT pins the limit for tests."""
-    if os.environ.get("ENVIRONMENT") != "local":
-        return df
+def _maybe_sample(df: DataFrame) -> tuple[DataFrame, bool]:
+    """O8: DEDUP_ENVIRONMENT=local applies a random LIMIT 1000-1099 to
+    input reads for quick iteration (files/utils.go:17-27, applied by
+    prune.go:67,80). DEDUP_SAMPLE_LIMIT pins the limit for tests.
+
+    The trigger is namespaced (not the generic ENVIRONMENT) so a
+    deployment that sets ENVIRONMENT=local for unrelated reasons never
+    gets silently sampled results; verbs surface ``sampled: true`` in
+    their JSON output whenever the profile was applied."""
+    if os.environ.get("DEDUP_ENVIRONMENT") != "local":
+        return df, False
     limit = int(
         os.environ.get("DEDUP_SAMPLE_LIMIT") or 1000 + random.randint(0, 99)
     )
-    print(f"[debug] ENVIRONMENT=local, applying LIMIT {limit}", file=sys.stderr)
-    return df.limit(limit)
+    print(f"[debug] DEDUP_ENVIRONMENT=local, applying LIMIT {limit}", file=sys.stderr)
+    return df.limit(limit), True
 
 
 def _spark(args) -> SparkSession:
@@ -140,7 +145,7 @@ def cmd_list_dupes(args) -> dict:
     spark = _spark(args)
     from .operators import exact
 
-    docs = _maybe_sample(spark.read.parquet(args.input))
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
     min_size = parse_size(args.min_size)
     # sigs and the group table feed several downstream jobs (top-N,
     # members, savings, count + collect): pin both once instead of
@@ -162,7 +167,7 @@ def cmd_list_dupes(args) -> dict:
     if sav.get("savings_bytes") is not None:
         sav["savings_human"] = format_size(int(sav["savings_bytes"]))
     return {"verb": "list-dupes", "groups": n_groups, "savings": sav,
-            "sample": sample}
+            "sample": sample, "sampled": sampled}
 
 
 def cmd_move_dupes(args) -> dict:
@@ -170,7 +175,7 @@ def cmd_move_dupes(args) -> dict:
     cat = _catalog(args)
     from .operators import actions, exact
 
-    docs = _maybe_sample(spark.read.parquet(args.input))
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
     sigs = exact.with_signature(
         exact.valid_documents(docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text")))
     )
@@ -179,7 +184,7 @@ def cmd_move_dupes(args) -> dict:
     plan = actions.plan_removals(elected, archive_prefix=args.exclude_prefix)
     info = cat.write(plan, "move_plan", params_hash="move")
     summary = actions.plan_summary(cat.read(spark, "move_plan")).collect()[0].asDict()
-    return {"verb": "move-dupes", "plan_rows": info.rows, **summary}
+    return {"verb": "move-dupes", "plan_rows": info.rows, "sampled": sampled, **summary}
 
 
 def cmd_prune(args) -> dict:
@@ -195,13 +200,14 @@ def cmd_prune(args) -> dict:
     # reference limits its SELECT the same way, prune.go:80); the
     # rewrite below is full-stored minus dead — never the sample, which
     # would silently delete every catalog row outside it
-    checked = _maybe_sample(stored)
+    checked, sampled = _maybe_sample(stored)
     dead = prune_missing(checked, live, "path").localCheckpoint(eager=True)
     n_dead = dead.count()
     if not args.dry_run:
         remaining = stored.join(dead.select("path"), "path", "left_anti")
         cat.write(remaining, "catalog", params_hash="prune")
-    return {"verb": "prune", "removed": n_dead, "dry_run": args.dry_run}
+    return {"verb": "prune", "removed": n_dead, "dry_run": args.dry_run,
+            "sampled": sampled}
 
 
 def cmd_mirror_check(args) -> dict:
@@ -412,7 +418,7 @@ def cmd_dedupe_group(args) -> dict:
         [(None, None)], "domain string, priority int",
     ).filter(F.col("domain").isNotNull())
 
-    docs = _maybe_sample(spark.read.parquet(args.input))
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
     sigs = exact.with_signature(
         exact.valid_documents(
             docs.select(F.col(args.id_col).alias("url"), F.col(args.text_col).alias("text"))
@@ -440,7 +446,7 @@ def cmd_dedupe_group(args) -> dict:
     if not args.dry_run:
         cat.write(plan, f"dedupe_plan_{args.group}", params_hash="dedupe-group")
     return {"verb": "dedupe-group", "group": args.group,
-            "dry_run": args.dry_run, **summary}
+            "dry_run": args.dry_run, "sampled": sampled, **summary}
 
 
 def cmd_serve(args) -> dict:

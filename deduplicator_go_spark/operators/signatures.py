@@ -166,6 +166,11 @@ def upgrade_signatures(
             "left",
         )
     )
+    # two consumers (the upgraded projection below and the stats agg):
+    # pin the join result once, or the full-corpus re-sign — the most
+    # expensive step — evaluates once for the stats and again when the
+    # caller materializes the returned table
+    joined = joined.localCheckpoint(eager=True)
     changed = F.col("new_sha").isNotNull() & (F.col("new_sha") != F.col("old_sha"))
     failed = F.col("new_sha").isNull()   # doc gone or recompute failed
     upgraded = joined.select(

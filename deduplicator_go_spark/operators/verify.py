@@ -69,6 +69,7 @@ def verify_pairs(
     threshold: float = 0.8,
     sigs: DataFrame | None = None,
     est_margin: float = 0.15,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """→ (url_a, url_b, origin, jaccard, is_dup, verify_tier).
 
@@ -100,16 +101,20 @@ def verify_pairs(
             "verify_tier", F.lit("exact")
         )
 
-    first = sigs.select("sig").first()
-    if first is None:
-        # empty signature table → no candidates to verify
-        return pairs.select(
-            "url_a", "url_b", "origin",
-            F.lit(None).cast("double").alias("jaccard"),
-            F.lit(False).alias("is_dup"),
-            F.lit("est").alias("verify_tier"),
-        )
-    num_perm = len(first["sig"])
+    if num_perm is None:
+        # caller didn't thread the config through — probe the signature
+        # table (one tiny extra job). Callers on the hot path (the
+        # pipeline) pass num_perm explicitly to avoid this.
+        first = sigs.select("sig").first()
+        if first is None:
+            # empty signature table → no candidates to verify
+            return pairs.select(
+                "url_a", "url_b", "origin",
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(False).alias("is_dup"),
+                F.lit("est").alias("verify_tier"),
+            )
+        num_perm = len(first["sig"])
     s = sigs.select("url", "sig")
     # Both the clear and borderline branches consume this estimate
     # table; without pinning it, the union plan re-runs the two sig

@@ -172,6 +172,7 @@ class DedupPipeline:
                     c.shingle_size,
                     c.verify_threshold,
                     sigs=self._read("minhash_sigs"),
+                    num_perm=c.num_perm,
                 ),
             )
         )

@@ -113,7 +113,13 @@ class SearchService:
         }
 
     def search(self, query: str, limit: int) -> list[dict]:
-        """Case-insensitive containment over path, newest ids first.
+        """Case-insensitive containment over path, descending id order.
+
+        id = xxhash64(path), so ORDER BY id DESC is an arbitrary-but-
+        deterministic order, not recency (the reference's serial ids
+        make its ORDER BY id DESC newest-first; this catalog carries no
+        ingest timestamp to reproduce that). With the result cap, broad
+        queries return a stable, reproducible subset.
 
         `contains` rather than LIKE-with-interpolation: identical
         semantics to the reference's %q% pattern for plain text and no
@@ -144,11 +150,18 @@ class SearchService:
             path = row[0]["path"]
             # eqNullSafe: a plain != would also silently drop NULL-path
             # rows. id = xxhash64(path), so rows sharing a path share an
-            # identity — deleting the id deletes all of them, like the
-            # reference deleting one DB row per unique file identity.
+            # identity — deleting the id deletes all of them *on this
+            # host*. When serving host-scoped (the only configuration
+            # where delete is enabled), other hosts' rows for the same
+            # path must survive — the reference's deleteIndexedFile
+            # removes one per-host indexed row, not every host's.
+            keep = ~F.col("path").eqNullSafe(F.lit(path))
+            if self.host and "host" in self._df.columns:
+                # null-safe: rows with NULL or different host are outside
+                # this server's scope and must never be rewritten away
+                keep = keep | ~F.lower(F.col("host")).eqNullSafe(F.lit(self.host))
             remaining = (
-                self.catalog.read(self.spark, self.table)
-                .filter(~F.col("path").eqNullSafe(F.lit(path)))
+                self.catalog.read(self.spark, self.table).filter(keep)
             )
             self.catalog.write(remaining, self.table, params_hash="serve-delete")
             self.refresh()

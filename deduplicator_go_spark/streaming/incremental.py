@@ -109,7 +109,22 @@ def run_incremental(
         appended = info.rows - before
         before = info.rows
         appended_total += appended
-        if batch_limit is None or appended <= 0 or appended < batch_limit:
+        if appended <= 0:
+            # appended == 0 normally means the frontier drained; but a
+            # key-dropping transform (contract violation) looks exactly
+            # the same from lineage. Probe the frontier cheaply: rows
+            # remaining + nothing appended = the queue can never drain.
+            leftover = frontier(inputs, catalog.read(spark, table), key,
+                                limit=1).count()
+            if leftover > 0:
+                raise RuntimeError(
+                    f"run_incremental({table!r}): transform appended 0 rows "
+                    f"while the frontier still has work — the transform "
+                    f"dropped keys, violating the key-preserving contract "
+                    f"(emit status rows for failures instead)."
+                )
+            break
+        if batch_limit is None or appended < batch_limit:
             break
     return appended_total
 

@@ -114,12 +114,19 @@ def test_cli_min_size_human(capsys, docs_parquet, tmp_path):
 
 
 def test_cli_sampling_profile(capsys, docs_parquet, tmp_path, monkeypatch):
-    """O8: ENVIRONMENT=local caps input reads for quick iteration
-    (files/utils.go:17-27); DEDUP_SAMPLE_LIMIT pins the limit."""
-    monkeypatch.setenv("ENVIRONMENT", "local")
+    """O8: DEDUP_ENVIRONMENT=local caps input reads for quick iteration
+    (files/utils.go:17-27); DEDUP_SAMPLE_LIMIT pins the limit. The
+    trigger is namespaced (generic ENVIRONMENT must NOT sample) and the
+    verb output discloses sampled: true."""
+    monkeypatch.setenv("ENVIRONMENT", "local")  # generic var: no effect
     monkeypatch.setenv("DEDUP_SAMPLE_LIMIT", "50")
     out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
                         "list-dupes", "--input", docs_parquet])
+    assert out["sampled"] is False
+    monkeypatch.setenv("DEDUP_ENVIRONMENT", "local")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat2"), "--cores", "8",
+                        "list-dupes", "--input", docs_parquet])
+    assert out["sampled"] is True
     # 50-doc sample must see far fewer dup groups than the full corpus
     assert out["groups"] < 18
 
@@ -320,7 +327,7 @@ def test_cli_import_plan(capsys, spark, tmp_path):
 
 
 def test_cli_prune_sampling_never_deletes_unchecked_rows(capsys, tmp_path, monkeypatch):
-    """ENVIRONMENT=local bounds what prune CHECKS, never what it keeps:
+    """DEDUP_ENVIRONMENT=local bounds what prune CHECKS, never what it keeps:
     the rewrite must be full-catalog minus dead (review regression —
     rewriting from the sample silently dropped every unsampled row)."""
     cat = str(tmp_path / "cat")
@@ -331,12 +338,13 @@ def test_cli_prune_sampling_never_deletes_unchecked_rows(capsys, tmp_path, monke
 
     live = tmp_path / "live.txt"
     live.write_text("\n".join(paths[1:]) + "\n")  # f000 is dead
-    monkeypatch.setenv("ENVIRONMENT", "local")
+    monkeypatch.setenv("DEDUP_ENVIRONMENT", "local")
     monkeypatch.setenv("DEDUP_SAMPLE_LIMIT", "5")  # check only 5 rows
     out = _run(capsys, ["--catalog", cat, "--cores", "8",
                         "prune", "--input", str(live)])
     assert out["removed"] <= 5  # at most the checked sample can die
-    monkeypatch.delenv("ENVIRONMENT")
+    assert out["sampled"] is True
+    monkeypatch.delenv("DEDUP_ENVIRONMENT")
     out = _run(capsys, ["--catalog", cat, "--cores", "8",
                         "prune", "--input", str(live), "--dry-run"])
     # everything except (possibly) f000 must still be cataloged

@@ -141,3 +141,26 @@ def test_delete_is_null_safe_and_by_identity(spark, tmp_path):
     left = cat.read(spark, "catalog").collect()
     paths = sorted((r["path"] or "<null>") for r in left)
     assert paths == ["/other.txt", "<null>"]  # NULL row survived
+
+
+def test_delete_is_host_scoped(spark, tmp_path):
+    """A host-scoped delete removes the path's row on THIS host only —
+    other hosts sharing the path (and NULL-host rows) keep theirs, like
+    the reference's deleteIndexedFile removing one per-host indexed row
+    (cmd/server.go:356-401)."""
+    cat = CheckpointCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("/shared/p.txt", "h1", 1), ("/shared/p.txt", "H2", 2),
+         ("/shared/p.txt", None, 3), ("/only-h1.txt", "h1", 4)],
+        "path string, host string, size long",
+    )
+    cat.write(df, "catalog", params_hash="test")
+    service = SearchService(spark, cat, table="catalog", host="h1")
+    hits = service.search("shared/p", 10)
+    assert len(hits) == 1  # served view is already h1-scoped
+    resp = service.delete(hits[0]["id"])
+    assert resp["removedDb"]
+    left = cat.read(spark, "catalog").collect()
+    assert sorted((r["host"] or "<null>") for r in left if r["path"] == "/shared/p.txt") \
+        == ["<null>", "H2"]  # h2 + NULL-host rows for the path survive
+    assert any(r["path"] == "/only-h1.txt" for r in left)
