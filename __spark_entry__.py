@@ -217,7 +217,10 @@ def _q_ngram_pairs(spark, sf_dir):
 
 
 def _q_embedding_topk(spark, sf_dir):
-    """Brute-force cosine top-3 neighbors per vector (exact baseline)."""
+    """Brute-force cosine top-3 neighbors per vector — the EXACT
+    baseline, oracle-value-checked. Fenced to bounded inputs (driver
+    matrix ≤ max_rows); serves as the truth for the ANN recall gates.
+    The headline/scale slot is embedding_topk_ann."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -631,10 +634,11 @@ def _ann_recall_gate(spark, sf_dir, path_name):
     view = _ann_eval_view(spark, sf_dir)
     exact = similarity.brute_force_topk(view, k=3).select("id_a", "id_b")
     if path_name == "lsh":
-        # 8 OR-bands of 4 bits: same per-band selectivity as the default
-        # config, more independent chances — measured 0.993 recall@3 on
-        # the planted view (16x4 sits at 0.925, under the gate)
-        approx = similarity.lsh_topk(view, k=3, n_bits=32, n_bands=8).select("id_a", "id_b")
+        # SAME policy the headline embedding_topk_ann runs: 10 OR-bands
+        # with density-adaptive band width (auto_band_width) — the gate
+        # certifies the exact configuration the scale path uses, not a
+        # separately-tuned one
+        approx = similarity.lsh_topk(view, k=3, n_bits=None, n_bands=10).select("id_a", "id_b")
     else:
         approx = ivf_topk(view, k=3, n_cells=8, n_probe=3).select("id_a", "id_b")
     n_exact = exact.count()
@@ -644,6 +648,17 @@ def _ann_recall_gate(spark, sf_dir, path_name):
         [(path_name, n_exact // 3, recall >= 0.95)],
         "path string, n_queries long, recall_ok boolean",
     )
+
+
+def _q_embedding_topk_ann(spark, sf_dir):
+    """Headline ANN slot: hyperplane-LSH top-3 over the planted-neighbor
+    view — the 100 TB shape (banded bucket join, bounded grid cells for
+    hot buckets, vectors attached by id after pair dedup; no driver-side
+    collect/toPandas anywhere in the plan). Wide 16-bit bands keep the
+    bucket join selective at scale; quality is enforced by the
+    lsh_recall gate. Rows-only (seeded random hyperplanes)."""
+    view = _ann_eval_view(spark, sf_dir)
+    return similarity.lsh_topk(view, k=3, n_bits=None, n_bands=10, cell_cap=256)
 
 
 def _q_lsh_recall(spark, sf_dir):
@@ -727,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "embedding_lsh_dups": _q_embedding_lsh_dups,
         "ivf_topk": _q_ivf_topk,
+        "embedding_topk_ann": _q_embedding_topk_ann,
     }
 
 

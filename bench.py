@@ -52,7 +52,10 @@ HEADLINE = [
     "exact_dup_groups",
     "cluster_labels",
     "ngram_pairs",
-    "embedding_topk",
+    # the ANN headline is the scale path (LSH buckets + grid, fully
+    # distributed); the fenced driver-collect brute force stays an
+    # oracle/recall-gate duty only (VERDICT r2 "what's wrong" #2)
+    "embedding_topk_ann",
     "pricing_summary",
     "top_revenue_orders",
     "events_hourly",

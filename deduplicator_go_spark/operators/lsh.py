@@ -149,3 +149,95 @@ def candidate_pairs(
     return (
         edges.groupBy("url_a", "url_b").agg(F.max("origin").alias("origin"))
     )
+
+
+def grid_cells(
+    band_df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    cell_cap: int = 256,
+    broadcast_sizes: bool = True,
+) -> DataFrame:
+    """Assign bucket members to theta-join grid cells (the exploded,
+    bounded-cell form of an all-pairs bucket self-join).
+
+    Members of a bucket of size n are hashed into g = ceil(n/cell_cap)
+    groups; each member replicates to the g cells its group touches
+    ((min(gid, j), max(gid, j)) for j in 0..g-1), so each unordered
+    pair of members lands in EXACTLY one cell and every cell holds
+    ~2·cell_cap members regardless of bucket size (Okcan & Riedewald's
+    1-bucket theta-join grid, SIGMOD'11, specialized to self-join).
+
+    Output: (*key_cols, id, gid, ci, cj). Singleton buckets are pruned
+    (collision-only sizing, same shape as candidate_pairs).
+    """
+    sizes = (
+        band_df.groupBy(*key_cols)
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") >= 2)
+    )
+    if broadcast_sizes:
+        sizes = F.broadcast(sizes)
+    tagged = band_df.join(sizes, key_cols)
+    g = F.greatest(F.lit(1), F.ceil(F.col("bn") / F.lit(cell_cap))).cast("int")
+    m = tagged.select(
+        *key_cols,
+        id_col,
+        g.alias("g"),
+        F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("gid"),
+    )
+    return m.select(
+        *key_cols, id_col, "gid",
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("other"),
+    ).select(
+        *key_cols,
+        F.col(id_col),
+        "gid",
+        F.least("gid", "other").alias("ci"),
+        F.greatest("gid", "other").alias("cj"),
+    )
+
+
+def grid_all_pairs(
+    band_df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    cell_cap: int = 256,
+    materialize: bool = True,
+    broadcast_sizes: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs within each bucket with bounded per-task work.
+
+    Complementary to ``candidate_pairs``: salted chaining preserves
+    connectivity with O(n) edges — right when pairs feed clustering —
+    but top-k / scoring consumers need EVERY within-bucket pair. The
+    grid keeps them all: total work stays O(n² per bucket) — the honest
+    cost of the banding config — but no task ever evaluates more than
+    ~(2·cell_cap)² pairs, so one viral bucket can neither straggle a
+    stage for hours nor OOM an executor (AQE cannot split a single hot
+    key of a self-join; the grid pre-splits it).
+
+    → (id_a, id_b) with id_a < id_b, deduped across buckets/bands.
+    """
+    cells = grid_cells(band_df, key_cols, id_col, cell_cap, broadcast_sizes)
+    if materialize:
+        # the cell table feeds both self-join sides; unpinned, Spark
+        # re-derives the sizing groupBy + join + explode once per side
+        # (the multi-consumer rule, SCALE.md)
+        cells = cells.localCheckpoint(eager=True)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(b, key_cols + ["ci", "cj"])
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # off-diagonal cells pair only across the two groups; a
+            # same-group pair materializes in its diagonal cell alone
+            & ((F.col("ci") == F.col("cj")) | (F.col("a.gid") != F.col("b.gid")))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -122,8 +122,10 @@ def hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """B-bit random-hyperplane signature per vector — one matrix multiply
-    per Arrow batch."""
+    """→ (id, hsig): B-bit random-hyperplane signature per vector — one
+    matrix multiply per Arrow batch. Vectors are NOT carried through
+    (consumers re-attach them by id AFTER pair dedup, so full arrays
+    never ride a band explode through a shuffle)."""
     if dim is None:
         first = emb.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
@@ -137,26 +139,26 @@ def hyperplane_signatures(
         weights = (1 << np.arange(n_bits, dtype=np.int64))
         return pd.Series(bits @ weights)
 
-    return emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig(F.col(vec_col)).alias("hsig"))
+    return emb.select(F.col(id_col).alias("id"), sig(F.col(vec_col)).alias("hsig"))
 
 
-def lsh_topk(
+def hyperplane_band_table(
     emb: DataFrame,
-    k: int = 5,
     n_bits: int = 16,
     n_bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share at least one signature band;
-    cosine computed exactly on candidates only."""
+    """→ (id, band_id, band_val): the embedding analog of
+    ``lsh.band_table`` — one slim row per (vector, band), no payload
+    columns, so the downstream bucket machinery (sizing, cap, salt/grid)
+    is shared with the MinHash path."""
     sigs = hyperplane_signatures(emb, n_bits, seed, None, id_col, vec_col)
     width = n_bits // n_bands
     mask = F.lit((1 << width) - 1)
-    bands = sigs.select(
+    return sigs.select(
         "id",
-        "vec",
         F.posexplode(
             F.array(*[
                 F.shiftrightunsigned(F.col("hsig"), i * width).bitwiseAND(mask)
@@ -164,16 +166,67 @@ def lsh_topk(
             ])
         ).alias("band_id", "band_val"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
-        .dropDuplicates(["id_a", "id_b"])
+
+
+def _attach_vectors(pairs: DataFrame, emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Join both endpoints' vectors onto deduped (id_a, id_b) pairs —
+    each vector crosses the wire once per deduped pair side, never
+    n_bands× through the band explode."""
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        pairs.join(src.withColumnsRenamed({"id": "id_a", "vec": "va"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "vec": "vb"}), "id_b")
     )
-    scored = cands.select(
+
+
+def auto_band_width(n_rows: int, target_bucket: int = 32) -> int:
+    """Density-adaptive band width: bits per band ≈ log2(n / target)
+    keeps the EXPECTED bucket size ~target regardless of corpus size —
+    the knob that keeps the bucket join linear as the corpus grows
+    (fixed-width banding is quadratic once n outgrows 2^width·target).
+    Clamped to [4, 16]."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, min(16, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_bits: int | None = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cap: int = 256,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band;
+    cosine computed exactly on candidates only.
+
+    ``n_bits=None`` selects the band width adaptively from the corpus
+    size (``auto_band_width``; one metadata-cheap count job), so the
+    same call scales from a 2k-vector test table to a planetary corpus
+    with ~constant expected bucket sizes.
+
+    Hot-bucket handling: top-k needs EVERY within-bucket pair (chaining
+    would cost recall), so over-cap buckets go through the bounded
+    theta-join grid (``lsh.grid_all_pairs``) — all pairs kept, no task
+    above ~(2·cell_cap)² evaluations, and only (id, band, cell) rows
+    shuffle; vectors are attached by id after pair dedup."""
+    from .lsh import grid_all_pairs
+
+    if n_bits is None:
+        n_bits = n_bands * auto_band_width(emb.count())
+
+    bands = hyperplane_band_table(emb, n_bits, n_bands, seed, id_col, vec_col)
+    pairs = grid_all_pairs(bands, ["band_id", "band_val"], "id", cell_cap)
+    # per-query top-k needs both directions of each unordered pair
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    scored = _attach_vectors(sym, emb, id_col, vec_col).select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
@@ -192,29 +245,32 @@ def embedding_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band_pair_cap: int = 64,
+    band_salt: int = 16,
+    collision_broadcast: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold)
-    via the LSH-bucketed path."""
-    sigs = hyperplane_signatures(emb, n_bits, seed, None, id_col, vec_col)
-    width = n_bits // n_bands
-    mask = F.lit((1 << width) - 1)
-    bands = sigs.select(
-        "id", "vec",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("hsig"), i * width).bitwiseAND(mask)
-                for i in range(n_bands)
-            ])
-        ).alias("band_id", "band_val"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    via the LSH-bucketed path.
+
+    Pair generation is ``lsh.candidate_pairs`` — the exact machinery
+    the MinHash path uses (collision-only bucket sizing, all-pairs for
+    small buckets, salted chaining for hot ones). Dup pairs feed
+    clustering, where chain edges preserve connectivity with O(n) edges
+    per viral bucket; a hot hyperplane bucket is overwhelmingly a true
+    near-identical cluster (members agree on every band bit by
+    construction), so connectivity — not pair completeness — is the
+    contract, same as the text pipeline."""
+    from .lsh import candidate_pairs
+
+    bands = hyperplane_band_table(emb, n_bits, n_bands, seed, id_col, vec_col)
+    cand = candidate_pairs(
+        bands.withColumnsRenamed({"id": "url", "band_val": "band_hash"}),
+        band_pair_cap,
+        band_salt,
+        collision_broadcast=collision_broadcast,
+    ).select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"))
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
-        .dropDuplicates(["id_a", "id_b"])
+        _attach_vectors(cand, emb, id_col, vec_col)
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
+
 from deduplicator_go_spark.operators import joins, multimodal, ngram, similarity, simhash
 
 
@@ -137,6 +139,68 @@ def test_embedding_dup_pairs(emb):
              similarity.embedding_dup_pairs(emb, threshold=0.99).collect()}
     assert (0, 1) in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_grid_all_pairs_exact_and_bounded(spark):
+    """The theta-join grid must (1) produce EXACTLY the all-pairs set —
+    nothing lost, nothing duplicated — even when a bucket is far over
+    the cell cap, and (2) bound every grid cell to ~2·cell_cap members
+    so no single task owns a quadratic hot bucket."""
+    from deduplicator_go_spark.operators.lsh import grid_all_pairs, grid_cells
+
+    n, cap = 300, 16
+    rows = [(0, i) for i in range(n)] + [(1, 900), (1, 901)]  # hot + small bucket
+    band = spark.createDataFrame(rows, "band_val int, id long").withColumn(
+        "band_id", F.lit(0)
+    )
+    pairs = grid_all_pairs(band, ["band_id", "band_val"], "id", cell_cap=cap).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(a, b) for a in range(n) for b in range(n) if a < b} | {(900, 901)}
+    assert got == want  # exact, no dup rows (collect len == set len)
+    assert len(pairs) == len(want)
+
+    cells = grid_cells(band, ["band_id", "band_val"], "id", cell_cap=cap)
+    per_cell = (
+        cells.groupBy("band_id", "band_val", "ci", "cj").count().collect()
+    )
+    # each cell holds members of <= 2 hash groups of ~n/g each; allow
+    # hash-imbalance slack (4x cap) but nothing near the raw bucket size
+    assert max(r["count"] for r in per_cell) <= 4 * cap
+
+
+def test_embedding_lsh_hot_bucket_bounded(spark):
+    """A deliberately clustered embedding corpus (every vector in one
+    hyperplane bucket): embedding_dup_pairs must go through the salted
+    chain — edges near-linear in the cluster size, never all-pairs —
+    and lsh_topk must keep exact within-bucket coverage through the
+    grid while never building an unbounded per-task pair list."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16).astype(np.float64)
+    rows = [
+        (i, [float(x) for x in (base + 1e-4 * rng.standard_normal(16))])
+        for i in range(240)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    dups = similarity.embedding_dup_pairs(
+        emb, threshold=0.9, band_pair_cap=16, band_salt=4
+    )
+    n_edges = dups.count()
+    # all 240 vectors share every band bucket: all-pairs would be 28680
+    assert 239 <= n_edges < 6 * 240
+    # connectivity: the threshold-passing edge set must form ONE cluster
+    from deduplicator_go_spark.operators.components import connected_components
+
+    edges = dups.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges)
+    assert labels.select("cluster_id").distinct().count() == 1
+
+    # grid path: top-1 of every member is exact within the bucket
+    top = similarity.lsh_topk(emb, k=1, cell_cap=16)
+    assert top.count() == 240
 
 
 # --------------------------------------------------------------------------
