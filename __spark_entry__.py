@@ -431,6 +431,50 @@ def _q_simhash_candidates(spark, sf_dir):
     return simhash_candidates(simhash(base.unionByName(near)), max_hamming=3)
 
 
+def _q_simhash_recall(spark, sf_dir):
+    """Completeness gate for the SimHash banded candidate path: with
+    max_hamming < n_bands the pigeonhole principle guarantees every
+    pair within the Hamming radius shares at least one exact band, so
+    the banded candidates must contain EVERY such pair. The gate
+    computes the brute-force truth set (native bit_count over the
+    signature cross join) and emits complete_ok = (missing == 0) —
+    value-checked against the oracle's pinned expectation, so a banding
+    regression flips the hash check."""
+    from deduplicator_go_spark.operators.simhash import (
+        hamming_distance,
+        simhash,
+        simhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).cast("string").alias("url"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    view = base.unionByName(near)
+    sig = simhash(view).localCheckpoint(eager=True)
+    max_h, n_bands = 3, 4
+    cands = simhash_candidates(sig, max_hamming=max_h, n_bands=n_bands).select(
+        "url_a", "url_b"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("a.url") < F.col("b.url"))
+        .filter(
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")) <= max_h
+        )
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+    n_missing = truth.join(cands, ["url_a", "url_b"], "left_anti").count()
+    n_docs = sig.count()
+    return spark.createDataFrame(
+        [("simhash", n_docs, n_missing == 0)],
+        "path string, n_docs long, complete_ok boolean",
+    )
+
+
 def _q_substr_blocks(spark, sf_dir):
     """Long-shared-substring pairs (suffix stage) over a derived view
     where copies share the full original text as a block; rows-only."""
@@ -445,6 +489,22 @@ def _q_substr_blocks(spark, sf_dir):
     return substr_pairs(
         base.unionByName(wrapped), min_len=128, anchor_k=32, anchor_mod=4
     ).select("url_a", "url_b", "lcs_len")
+
+
+def _q_media_phash_dups(spark, sf_dir):
+    """Multimodal near-dup pairs over a deterministic synthetic media
+    corpus (one BMP image / WAV clip per doc_id, generated distributed
+    with the engine's own pure-numpy codecs; ids % 8 in (4,5) are
+    noisy re-renders of id-4). The Spark path decodes payloads for
+    real, computes perceptual hashes, and runs banded Hamming
+    candidates; the oracle pins the planted truth set — noise must
+    never flip a perceptual-hash bit, and nothing else may collide."""
+    from deduplicator_go_spark.fixtures.media import synthetic_media
+    from deduplicator_go_spark.operators import multimodal
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = synthetic_media(ids)
+    return multimodal.phash_dup_pairs(media, max_hamming=3)
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -729,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
+        "simhash_recall": _q_simhash_recall,
+        "media_phash_dups": _q_media_phash_dups,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
         "work_queue": _q_work_queue,
@@ -1098,6 +1160,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf' AS path, CAST(4 * count(*) AS BIGINT) AS n_queries,
                    true AS recall_ok
             FROM embeddings
+        """,
+        # SimHash pigeonhole-completeness gate: the Spark side computes
+        # the exact Hamming<=3 truth set and asserts the banded
+        # candidates cover it (provably true when max_hamming < bands);
+        # the oracle pins the expected row, so any banding regression
+        # hash-mismatches.
+        "simhash_recall": """
+            SELECT 'simhash' AS path,
+                   CAST((SELECT count(*) FROM documents)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+                     AS BIGINT) AS n_docs,
+                   true AS complete_ok
+        """,
+        # Multimodal dedup truth: the synthetic corpus plants exactly the
+        # pairs (id-4, id) for id % 8 in (4, 5); perceptual hashes must
+        # match within a planted pair (noise-invariant by design) and
+        # collide nowhere else (random 64-bit patterns, P(hamming<=3)
+        # ~ 2e-15 per pair).
+        "media_phash_dups": """
+            SELECT 'm' || lpad(CAST(doc_id - 4 AS VARCHAR), 8, '0') AS media_id_a,
+                   'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CAST(0 AS INT) AS hamming
+            FROM documents d
+            WHERE doc_id % 8 IN (4, 5)
+              AND EXISTS (SELECT 1 FROM documents p WHERE p.doc_id = d.doc_id - 4)
         """,
         "path_popularity": """
             WITH counts AS (

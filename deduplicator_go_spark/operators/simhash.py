@@ -47,13 +47,24 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidates(sig: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+def simhash_candidates(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    scope_cols: list[str] | None = None,
+) -> DataFrame:
     """Band the 64-bit simhash into ``n_bands`` chunks; pairs agreeing on
     any band and within ``max_hamming`` overall are candidates.
-    (Pigeonhole guarantees completeness when max_hamming < n_bands.)"""
+    (Pigeonhole guarantees completeness when max_hamming < n_bands.)
+
+    ``scope_cols`` join into the bucket key, so pairs can only form
+    within a scope (e.g. per media kind for perceptual hashes) and the
+    scope rides along in the output."""
+    scope = list(scope_cols or [])
     width = 64 // n_bands
     mask = F.lit((1 << width) - 1)
     bands = sig.select(
+        *scope,
         "url",
         "simhash",
         F.posexplode(
@@ -66,9 +77,10 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3, n_bands: int = 4) -
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(b, ["band_id", "band_val"])
+        a.join(b, scope + ["band_id", "band_val"])
         .filter(F.col("a.url") < F.col("b.url"))
         .select(
+            *scope,
             F.col("a.url").alias("url_a"),
             F.col("b.url").alias("url_b"),
             hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),

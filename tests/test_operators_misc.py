@@ -291,8 +291,70 @@ def test_media_feature_plumbing(media):
 
 
 def test_media_strict_raises(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, strict=True)
+    """strict=True raises for undecodable mimes — now at action time,
+    inside the UDF, since BMP/WAV decode for real."""
+    with pytest.raises(Exception, match="codec libraries"):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_bmp_wav_roundtrip_bit_exact():
+    """Pure-numpy codecs: encode → decode must be bit-exact (pixels and
+    samples), including BMP row padding for non-multiple-of-4 widths."""
+    rng = np.random.default_rng(3)
+    for w, h in ((32, 32), (13, 7), (1, 1)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+    samples = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    got, rate = multimodal.decode_wav(multimodal.encode_wav(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(got, samples)
+
+
+def test_perceptual_hash_noise_invariant_and_distinct():
+    """The avg-hash/envelope-hash must survive the fixture's planted
+    noise (same hash) while distinct contents hash apart."""
+    from deduplicator_go_spark.fixtures import media as fx
+
+    for cid in (0, 2, 8):
+        base = multimodal.image_average_hash(multimodal.decode_bmp(fx.synth_image(cid)))
+        noisy = multimodal.image_average_hash(
+            multimodal.decode_bmp(fx.synth_image(cid, noise_seed=cid + 4))
+        )
+        assert base == noisy
+    assert multimodal.image_average_hash(
+        multimodal.decode_bmp(fx.synth_image(0))
+    ) != multimodal.image_average_hash(multimodal.decode_bmp(fx.synth_image(2)))
+    a0 = multimodal.audio_envelope_hash(multimodal.decode_wav(fx.synth_audio(1))[0])
+    a0n = multimodal.audio_envelope_hash(
+        multimodal.decode_wav(fx.synth_audio(1, noise_seed=5))[0]
+    )
+    a1 = multimodal.audio_envelope_hash(multimodal.decode_wav(fx.synth_audio(3))[0])
+    assert a0 == a0n and a0 != a1
+
+
+def test_media_phash_dedup_finds_planted_pairs(spark):
+    """End-to-end multimodal dedup on the synthetic corpus: decoded
+    perceptual hashes + banded Hamming candidates return EXACTLY the
+    planted near-dup truth set, kind-scoped."""
+    from deduplicator_go_spark.fixtures import media as fx
+
+    ids = spark.range(0, 80).withColumnRenamed("id", "doc_id")
+    corpus = fx.synthetic_media(ids, "doc_id")
+    pairs = multimodal.phash_dup_pairs(corpus, max_hamming=3).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    assert got == fx.truth_pairs(list(range(80)))
+    assert all(r["hamming"] == 0 for r in pairs)
+    kinds = {r["kind"] for r in pairs}
+    assert kinds == {"image", "audio"}
+
+
+def test_perceptual_hash_strict_raises_on_unsupported(media):
+    # whichever partition errors first: the unsupported-mime raise or
+    # the malformed-payload ValueError (the fixture has both)
+    with pytest.raises(Exception, match="codec libraries|not a WAV"):
+        multimodal.perceptual_hashes(media, strict=True).collect()
+    # non-strict: undecodable rows come back with NULL phash
+    rows = multimodal.perceptual_hashes(media, strict=False).collect()
+    assert all(r["phash"] is None for r in rows)  # fixture payloads are fakes
 
 
 def test_media_stats_and_exact_dups(media):
