@@ -46,7 +46,8 @@ SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
 SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "4"))
 SCALE_LO = max(1, SCALE_HI // 4)
 # stages whose cost grows with data (vs fixed-latency bookkeeping)
-SCALABLE_STAGES = ["minhash_sigs", "candidates", "verified_pairs", "substr_pairs", "clusters"]
+SCALABLE_STAGES = ["minhash_sigs", "band_rows", "candidates", "verified_pairs",
+                   "substr_pairs", "clusters"]
 
 HEADLINE = [
     "exact_dup_groups",

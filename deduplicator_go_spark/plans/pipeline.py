@@ -1,22 +1,35 @@
-"""End-to-end near-duplicate pipeline with checkpointed, resumable stages.
+"""End-to-end near-duplicate pipeline with checkpointed, resumable,
+tick-incremental stages.
 
-Stage graph (each box = a committed catalog table + lineage rows):
+Stage graph (each box = a committed catalog table + lineage rows;
+(a) = append/frontier-incremental, (o) = overwrite-on-upstream-change):
 
-  documents ──► exact_sigs ──► exact_edges ─────────────┐
-       │                                                ▼
-       ├──► minhash_sigs ──► candidates ──► verified ──► edges ──► clusters
-       │         (incremental append)                              │
-       └──► substr_pairs (anchor → blocked candidates → verify)    ▼
-                                                              dup_report
+  documents ─► valid_docs(a) ─► exact_sigs(a) ─► exact_edges(o) ──┐
+                  │                                               ▼
+                  ├─► minhash_sigs(a) ─► band_rows(a) ─► candidates(a)
+                  │                                        │
+                  │                   verified_pairs(a) ◄──┘
+                  │                          │
+                  ├─► substr_pairs(o) ◄──────┤
+                  │                          ▼
+                  └──────────────────► clusters(o) ─► dup_report(o)
 
 Resume contract (north rule; generalizes the reference's keyset
 bookmarks, /root/reference/files/hash.go:202-283): a killed run
 re-invoked with the same catalog + config skips every stage whose
-commit marker matches the config's params_hash; the minhash stage is
-additionally *incremental* — it anti-joins the input frontier against
-its own completed output and appends only missing urls, the Spark
-analog of the reference's ``hash IS NULL`` work queue
-(files/hash.go:27-33).
+commit marker matches the config's params_hash AND whose upstream
+row-count fingerprint is unchanged.
+
+Tick contract (the reference's operating model — a 1-minute timer over
+a ``hash IS NULL`` work queue, systemd/deduplicator-hash.timer:5-8,
+files/hash.go:27-33): re-invoking run() on the same catalog with a
+GROWN input appends only frontier work at every per-document stage
+(validate, sign, minhash, band), re-pairs only LSH buckets whose
+membership changed (bucket-membership diff via the staged band table +
+candidates_done bookmark), and verifies only newly-appended candidate
+pairs. Whole-graph stages (exact_edges, clusters, dup_report) rebuild
+when their upstreams moved — they are reductions whose cost is small
+next to signing/banding/verifying the standing corpus.
 """
 
 from __future__ import annotations
@@ -71,28 +84,48 @@ class DedupPipeline:
         self.ph = self.config.params_hash()
 
     # -- stage runner -----------------------------------------------------
-    def _stage(self, name: str, build, mode: str = "overwrite") -> StageResult:
-        if self.catalog.is_complete(name, self.ph):
+    def _deps_fingerprint(self, deps: list[str] | None,
+                          extra: dict | None = None) -> dict | None:
+        """Upstream state as {table: rows} from commit markers / parquet
+        footers — metadata only, no scan jobs. On Iceberg this is the
+        upstream snapshot-id set; row counts are the parquet-dir
+        stand-in with the same contract (append-only tables only grow)."""
+        if deps is None and extra is None:
+            return None
+        fp = {d: self.catalog.table_rows(d) for d in (deps or [])}
+        if extra:
+            fp.update(extra)
+        return fp
+
+    def _stage(self, name: str, build, mode: str = "overwrite",
+               deps: list[str] | None = None,
+               extra_deps: dict | None = None) -> StageResult:
+        up = self._deps_fingerprint(deps, extra_deps)
+        if self.catalog.is_complete(name, self.ph, upstream_rows=up):
             info = self.catalog.commit_info(name)
             return StageResult(name, skipped=True, rows=info.rows, wall_ms=0)
         t0 = time.time()
         df = build()
-        info = self.catalog.write(df, name, self.ph, mode=mode)
+        info = self.catalog.write(df, name, self.ph, mode=mode, upstream_rows=up)
         self._release_persisted()
         return StageResult(name, skipped=False, rows=info.rows, wall_ms=int((time.time() - t0) * 1000))
 
-    def _incremental_stage(self, name: str, build) -> StageResult:
-        """Append-mode stage: frontier-driven, reuses partial output
-        from a killed run when params match (wiped otherwise). Routed
-        through its own runner so external instrumentation can wrap
-        stage boundaries uniformly with _stage."""
-        if self.catalog.is_complete(name, self.ph):
+    def _incremental_stage(self, name: str, build,
+                           deps: list[str] | None = None,
+                           extra_deps: dict | None = None) -> StageResult:
+        """Append-mode stage: frontier-driven — re-invoked on a grown
+        upstream it appends only the frontier's rows; reuses partial
+        output from a killed run when params match (wiped otherwise).
+        Routed through its own runner so external instrumentation can
+        wrap stage boundaries uniformly with _stage."""
+        up = self._deps_fingerprint(deps, extra_deps)
+        if self.catalog.is_complete(name, self.ph, upstream_rows=up):
             info = self.catalog.commit_info(name)
             return StageResult(name, skipped=True, rows=info.rows, wall_ms=0)
         t0 = time.time()
         self.catalog.incremental_begin(name, self.ph)
         df = build()
-        info = self.catalog.write(df, name, self.ph, mode="append")
+        info = self.catalog.write(df, name, self.ph, mode="append", upstream_rows=up)
         self._release_persisted()
         return StageResult(name, False, info.rows, int((time.time() - t0) * 1000))
 
@@ -114,29 +147,64 @@ class DedupPipeline:
             pass
 
     def run(self, docs: DataFrame) -> PipelineReport:
+        """One pipeline tick. Re-invoked on the same catalog with a
+        grown input (the reference's 1-minute timer model,
+        /root/reference/systemd/deduplicator-hash.timer:5-8), every
+        per-document stage appends only the frontier and the candidate
+        stage recomputes only buckets whose membership changed — a
+        daily ingest at 10^12 docs never re-bands or re-verifies the
+        standing corpus. Whole-graph stages (edges, clusters, report)
+        recompute when their upstream fingerprints moved.
+        """
         c = self.config
         t_start = time.time()
         report = PipelineReport(run_id=self.catalog.run_id)
 
-        # stage 0: materialize the validated projection once — it feeds
-        # six consumers (exact sigs, minhash frontier, verify text-attach
-        # x2, anchors, substring attach x2). A committed table (not a
-        # cache) is the 100 TB-correct form: column-pruned, resumable,
-        # and no executor storage memory held across stages.
+        # One count job fingerprints the raw input (on Iceberg: the
+        # snapshot id, no scan). Everything downstream keys off catalog
+        # table row counts from commit markers — metadata only.
+        input_rows = docs.count()
+
+        # stage 0: the validated projection — it feeds six consumers
+        # (exact sigs, minhash frontier, verify text-attach x2, anchors,
+        # substring attach x2). A committed table (not a cache) is the
+        # 100 TB-correct form: column-pruned, resumable, no executor
+        # storage held across stages. Incremental: only input rows whose
+        # url is not yet in the table are re-validated (invalid rows
+        # re-enter the frontier each tick and are re-dropped — the cost
+        # of not persisting a tombstone table for them).
         cols = ["url", "text"] + [c_ for c_ in ("lang",) if c_ in docs.columns]
+
+        def build_valid() -> DataFrame:
+            frontier = docs
+            if self.catalog.exists("valid_docs"):
+                done = self._read("valid_docs").select("url")
+                frontier = frontier.join(done, "url", "left_anti")
+            return exact.valid_documents(frontier, c.min_text_chars, c.langs).select(*cols)
+
         report.stages.append(
-            self._stage(
-                "valid_docs",
-                lambda: exact.valid_documents(docs, c.min_text_chars, c.langs).select(*cols),
+            self._incremental_stage(
+                "valid_docs", build_valid, extra_deps={"input_rows": input_rows}
             )
         )
         valid = self._read("valid_docs")
 
+        def build_exact_sigs() -> DataFrame:
+            frontier = valid
+            if self.catalog.exists("exact_sigs"):
+                done = self._read("exact_sigs").select("url")
+                frontier = frontier.join(done, "url", "left_anti")
+            return exact.with_signature(frontier)
+
         report.stages.append(
-            self._stage("exact_sigs", lambda: exact.with_signature(valid))
+            self._incremental_stage("exact_sigs", build_exact_sigs, deps=["valid_docs"])
         )
         report.stages.append(
-            self._stage("exact_edges", lambda: exact.exact_edges(self._read("exact_sigs")))
+            self._stage(
+                "exact_edges",
+                lambda: exact.exact_edges(self._read("exact_sigs")),
+                deps=["exact_sigs"],
+            )
         )
 
         # minhash: incremental append against own completed output — the
@@ -150,31 +218,105 @@ class DedupPipeline:
                 frontier = frontier.join(done, "url", "left_anti")
             return minhash_signatures(frontier, c.shingle_size, c.num_perm, c.minhash_seed)
 
-        report.stages.append(self._incremental_stage("minhash_sigs", build_minhash))
+        report.stages.append(
+            self._incremental_stage("minhash_sigs", build_minhash, deps=["valid_docs"])
+        )
+
+        # band rows: the LSH band table, STAGED in the catalog (not an
+        # in-stage temporary) so the candidate stage can diff bucket
+        # membership across ticks. Append-only, one row per (doc, band).
+        def build_band_rows() -> DataFrame:
+            sigs = self._read("minhash_sigs")
+            if self.catalog.exists("band_rows"):
+                done = self._read("band_rows").select("url").distinct()
+                sigs = sigs.join(done, "url", "left_anti")
+            return band_table(sigs, c.lsh_bands, c.lsh_rows)
 
         report.stages.append(
-            self._stage(
-                "candidates",
-                lambda: candidate_pairs(
-                    band_table(self._read("minhash_sigs"), c.lsh_bands, c.lsh_rows),
+            self._incremental_stage("band_rows", build_band_rows, deps=["minhash_sigs"])
+        )
+
+        # candidates: on the first tick, the full banded self-join; on
+        # later ticks, ONLY buckets containing a new member are
+        # re-paired, and only pairs touching a new doc are appended
+        # (old-old pairs already exist). candidates_done records which
+        # urls' pairs have been generated (rewritten idempotently after
+        # each commit, so a kill between the two writes only costs
+        # re-derived — then anti-joined-away — pairs, never duplicates).
+        def build_candidates() -> DataFrame:
+            bands = self._read("band_rows")
+            incremental = self.catalog.exists("candidates") and self.catalog.exists(
+                "candidates_done"
+            )
+            if not incremental:
+                return candidate_pairs(
+                    bands,
                     c.band_pair_cap,
                     c.band_salt,
+                    materialize=False,  # parquet-backed input IS the pin
                     collision_broadcast=c.lsh_collision_broadcast,
-                ),
+                )
+            done_urls = self._read("candidates_done")
+            new_urls = (
+                bands.select("url").distinct()
+                .join(done_urls, "url", "left_anti")
+                .localCheckpoint(eager=True)
             )
+            new_buckets = (
+                bands.join(new_urls, "url", "left_semi")
+                .select("band_id", "band_hash")
+                .distinct()
+            )
+            members = bands.join(new_buckets, ["band_id", "band_hash"], "left_semi")
+            pairs = candidate_pairs(
+                members,
+                c.band_pair_cap,
+                c.band_salt,
+                materialize=True,
+                collision_broadcast=c.lsh_collision_broadcast,
+            ).localCheckpoint(eager=True)  # feeds two semi-joins below
+            touches_new = (
+                pairs.join(new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi")
+                .select("url_a", "url_b", "origin")
+                .unionByName(
+                    pairs.join(
+                        new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
+                    ).select("url_a", "url_b", "origin")
+                )
+                .dropDuplicates(["url_a", "url_b"])
+            )
+            existing = self._read("candidates").select("url_a", "url_b")
+            return touches_new.join(existing, ["url_a", "url_b"], "left_anti")
+
+        cand_stage = self._incremental_stage(
+            "candidates", build_candidates, deps=["band_rows"]
         )
-        report.stages.append(
-            self._stage(
-                "verified_pairs",
-                lambda: verify_pairs(
-                    self._read("candidates"),
-                    valid,
-                    c.shingle_size,
-                    c.verify_threshold,
-                    sigs=self._read("minhash_sigs"),
-                    num_perm=c.num_perm,
-                ),
+        report.stages.append(cand_stage)
+        if not cand_stage.skipped:
+            self.catalog.write(
+                self._read("band_rows").select("url").distinct(),
+                "candidates_done",
+                self.ph,
             )
+
+        # verification: only pairs not yet verified (pair-key frontier) —
+        # on a tick, exactly the pairs the candidate stage appended.
+        def build_verified() -> DataFrame:
+            pairs = self._read("candidates")
+            if self.catalog.exists("verified_pairs"):
+                done_pairs = self._read("verified_pairs").select("url_a", "url_b")
+                pairs = pairs.join(done_pairs, ["url_a", "url_b"], "left_anti")
+            return verify_pairs(
+                pairs,
+                valid,
+                c.shingle_size,
+                c.verify_threshold,
+                sigs=self._read("minhash_sigs"),
+                num_perm=c.num_perm,
+            )
+
+        report.stages.append(
+            self._incremental_stage("verified_pairs", build_verified, deps=["candidates"])
         )
 
         if self.with_substr:
@@ -194,7 +336,12 @@ class DedupPipeline:
                     collision_broadcast=c.lsh_collision_broadcast,
                 )
 
-            report.stages.append(self._stage("substr_pairs", build_substr))
+            report.stages.append(
+                self._stage(
+                    "substr_pairs", build_substr,
+                    deps=["valid_docs", "verified_pairs"],
+                )
+            )
 
         def build_clusters() -> DataFrame:
             near_edges = (
@@ -207,7 +354,12 @@ class DedupPipeline:
             assignments = connected_components(all_edges, c.cc_max_iters)
             return assign_all(valid, assignments)
 
-        report.stages.append(self._stage("clusters", build_clusters))
+        report.stages.append(
+            self._stage(
+                "clusters", build_clusters,
+                deps=["verified_pairs", "exact_edges", "valid_docs"],
+            )
+        )
 
         def build_report() -> DataFrame:
             clusters = self._read("clusters")
@@ -232,7 +384,9 @@ class DedupPipeline:
                 .agg(F.sort_array(F.collect_list("url")).alias("urls"))
             )
 
-        report.stages.append(self._stage("dup_report", build_report))
+        report.stages.append(
+            self._stage("dup_report", build_report, deps=["clusters"])
+        )
 
         # input size from the valid_docs commit marker (parquet-footer
         # lineage) — no extra scan job over the raw input. docs_in

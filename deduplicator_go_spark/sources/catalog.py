@@ -42,6 +42,11 @@ class CommitInfo:
     rows: int
     wall_ms: int
     completed_at: float
+    # upstream table row counts at commit time (the snapshot-diff
+    # stand-in): a stage whose upstream grew since its commit is stale
+    # even under identical params. None = recorded before this field
+    # existed (treated as unknown → stale when a check is requested).
+    upstream_rows: dict | None = None
 
 
 class CheckpointCatalog:
@@ -70,9 +75,22 @@ class CheckpointCatalog:
         with open(m) as f:
             return CommitInfo(**json.load(f))
 
-    def is_complete(self, name: str, params_hash: str) -> bool:
+    def is_complete(
+        self,
+        name: str,
+        params_hash: str,
+        upstream_rows: dict | None = None,
+    ) -> bool:
+        """Committed under these params — and, when ``upstream_rows`` is
+        given, committed against exactly this upstream state (row-count
+        fingerprint per dependency table; on Iceberg this is a snapshot
+        id comparison)."""
         info = self.commit_info(name)
-        return info is not None and info.params_hash == params_hash
+        if info is None or info.params_hash != params_hash:
+            return False
+        if upstream_rows is not None and info.upstream_rows != upstream_rows:
+            return False
+        return True
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(name))
@@ -134,6 +152,7 @@ class CheckpointCatalog:
         params_hash: str,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        upstream_rows: dict | None = None,
     ) -> CommitInfo:
         """Write a stage output + commit marker + lineage rows.
 
@@ -181,6 +200,7 @@ class CheckpointCatalog:
             rows=rows,
             wall_ms=wall_ms,
             completed_at=time.time(),
+            upstream_rows=upstream_rows,
         )
         with open(marker + ".tmp", "w") as f:
             json.dump(info.__dict__, f)

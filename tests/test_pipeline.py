@@ -131,6 +131,70 @@ def test_config_change_invalidates(spark, docs, tmp_path_factory):
     assert by_name["minhash_sigs"].rows == n_first  # full recompute, no stale rows
 
 
+def test_incremental_tick_appends_only_new_work(spark, docs, tmp_path_factory):
+    """The reference's operating model (1-min timer over a work queue):
+    tick 2 on the same catalog with a grown input must (a) append only
+    frontier rows at every per-doc stage, (b) re-pair only buckets
+    containing a new member and append only pairs touching new docs,
+    (c) verify only the newly appended pairs, and (d) produce clusters
+    identical to a from-scratch run over the full corpus."""
+    root = str(tmp_path_factory.mktemp("tick"))
+    cfg = DedupConfig()
+    tick1_docs = docs.filter(F.abs(F.xxhash64("url")) % 3 != 0)
+
+    pipe1 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False)
+    r1 = pipe1.run(tick1_docs)
+    rows1 = {s.name: s.rows for s in r1.stages}
+    cat = CheckpointCatalog(root)
+    cand1 = {
+        (r["url_a"], r["url_b"]) for r in cat.read(spark, "candidates").collect()
+    }
+    old_urls = {r["url"] for r in cat.read(spark, "valid_docs").select("url").collect()}
+
+    pipe2 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False)
+    r2 = pipe2.run(docs)
+    rows2 = {s.name: s.rows for s in r2.stages}
+    by2 = {s.name: s for s in r2.stages}
+
+    # (a) per-doc incremental stages appended exactly the frontier
+    from deduplicator_go_spark.operators import exact as X
+
+    n_new_valid = X.valid_documents(docs).count() - len(old_urls)
+    assert n_new_valid > 0
+    for stage in ("valid_docs", "exact_sigs", "minhash_sigs"):
+        assert not by2[stage].skipped
+        assert rows2[stage] - rows1[stage] == n_new_valid, stage
+    assert rows2["band_rows"] - rows1["band_rows"] == n_new_valid * cfg.lsh_bands
+
+    # (b) appended candidates all touch a new doc (old-old pairs were
+    # never re-generated), and nothing from tick 1 was lost
+    cand2 = {
+        (r["url_a"], r["url_b"]) for r in cat.read(spark, "candidates").collect()
+    }
+    appended_pairs = cand2 - cand1
+    assert cand1 <= cand2
+    assert len(cand2) == rows2["candidates"]  # no duplicate pair rows
+    assert appended_pairs and all(
+        a not in old_urls or b not in old_urls for a, b in appended_pairs
+    )
+
+    # (c) verification ran only on the appended pairs (pair frontier)
+    assert rows2["verified_pairs"] - rows1["verified_pairs"] == len(appended_pairs)
+
+    # (d) clusters equal a from-scratch run on the full corpus
+    scratch_root = str(tmp_path_factory.mktemp("tick-scratch"))
+    DedupPipeline(spark, CheckpointCatalog(scratch_root), cfg, with_substr=False).run(docs)
+    got = _cluster_partition(cat.read(spark, "clusters").collect())
+    want = _cluster_partition(
+        CheckpointCatalog(scratch_root).read(spark, "clusters").collect()
+    )
+    assert got == want
+
+    # a third run with unchanged input skips every stage
+    r3 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False).run(docs)
+    assert all(s.skipped for s in r3.stages), [s.name for s in r3.stages if not s.skipped]
+
+
 def test_partial_minhash_append_resumes_incrementally(spark, docs, tmp_path_factory):
     """Kill mid-minhash: half the urls already appended → resume appends
     only the missing half (frontier anti-join) and totals match."""
