@@ -38,7 +38,11 @@ HEADLINE_RUNS = int(os.environ.get("BENCH_HEADLINE_RUNS", "3"))
 # scheduling, checkpoint commits — constants that vanish at production
 # scale) don't drown the compute signal
 N_SCALING = int(os.environ.get("BENCH_SCALING_N_DOCS", str(max(N_DOCS, 200000))))
-SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+# soft wall budget for the whole bench: scaling rounds after the first
+# are skipped once 80% is spent, so floors degrade gracefully instead
+# of the bench overrunning an external timeout
+BUDGET_SEC = int(os.environ.get("BENCH_BUDGET_SEC", "2400"))
 # N vs 4N pair for the scaling evidence. Defaults to 1 vs 4: host
 # calibration (BENCH/EVIDENCE.md) shows this overcommitted VM delivers
 # at most ~8-10 effective cores with DRAM bandwidth saturating around
@@ -231,7 +235,11 @@ def main() -> None:
             lo_runs: dict[str, int] = {}
             hi_task: dict[str, int] = {}
             lo_task: dict[str, int] = {}
-            for _ in range(SCALING_RUNS):
+            rounds_done = 0
+            for i in range(SCALING_RUNS):
+                if i > 0 and time.time() - t_all > BUDGET_SEC * 0.8:
+                    break  # keep floors from completed rounds
+                rounds_done += 1
                 for cores, mins, tmins in (
                     (hi_cores, hi_runs, hi_task),
                     (lo_cores, lo_runs, lo_task),
@@ -259,6 +267,7 @@ def main() -> None:
                 "cores_lo": lo_cores,
                 "cores_hi": hi_cores,
                 "n_docs": N_SCALING,
+                "rounds": rounds_done,
                 "wall_floor_lo_sec": round(_wall(sc_lo), 2),
                 "wall_floor_hi_sec": round(_wall(sc_hi), 2),
                 "docs_per_sec_lo": round(N_SCALING / _wall(sc_lo), 1),
@@ -345,7 +354,7 @@ def _write_baseline_md(queries, dedup, scaling) -> None:
         "",
         "A real multi-executor cluster is unavailable in this sandbox; per the",
         "driver's instruction the same job ran at two local parallelism levels",
-        f"on the same input ({SCALING_RUNS} interleaved fresh-session runs per",
+        f"on the same input ({scaling.get('rounds', SCALING_RUNS)} interleaved fresh-session runs per",
         "level, per-stage minima = 'floor'). Levels are local[%d] vs local[%d]:" % (
             scaling["cores_lo"], scaling["cores_hi"]),
         "host calibration (BENCH/EVIDENCE.md) shows this overcommitted VM",

@@ -14,8 +14,12 @@ The script builds no SparkSession configuration beyond what the
 cluster provides via spark-submit conf — executor counts, memory,
 shuffle partitions are deployment decisions; AQE + Arrow are enabled
 defensively if unset.  Re-running the same command after a failure
-resumes from the checkpoint catalog (same params hash → completed
-stages skip).
+resumes from the checkpoint catalog (same params hash + unchanged
+upstream fingerprints → completed stages skip). Re-running on a GROWN
+input table is an incremental tick: per-doc stages append only the
+frontier, candidate generation re-pairs only buckets whose membership
+changed, verification runs only on new pairs — schedule it from cron
+exactly like the reference's deduplicator-hash.timer.
 """
 
 from __future__ import annotations
