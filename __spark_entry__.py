@@ -518,7 +518,12 @@ def _q_ivf_topk(spark, sf_dir):
 
 def _q_embedding_lsh_dups(spark, sf_dir):
     """Hyperplane-LSH embedding near-dup pairs over a view with exact
-    vector copies injected; rows-only (seeded random hyperplanes)."""
+    vector copies injected. VALUE-checked: an exact copy has an
+    identical hyperplane signature, so it shares every band bucket
+    with its original and MUST surface as a candidate; at threshold
+    0.999 on isotropic synthetic embeddings (max non-copy cos ≈ 0.5)
+    the output is provably exactly the planted pair set with cos 1.0 —
+    which the oracle pins."""
     from deduplicator_go_spark.operators.similarity import embedding_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1172,6 +1177,16 @@ def oracle_sql() -> dict[str, str]:
                       + (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
                      AS BIGINT) AS n_docs,
                    true AS complete_ok
+        """,
+        # Embedding-LSH dup truth: exact copies share every band bucket
+        # (identical signatures), so the LSH path must return exactly
+        # the planted pairs at cos 1.0; isotropic non-copies top out
+        # near cos 0.5, far under the 0.999 threshold.
+        "embedding_lsh_dups": """
+            SELECT vec_id AS id_a,
+                   CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+                   CAST(1.0 AS DOUBLE) AS cos
+            FROM embeddings WHERE vec_id % 10 = 0
         """,
         # Multimodal dedup truth: the synthetic corpus plants exactly the
         # pairs (id-4, id) for id % 8 in (4, 5); perceptual hashes must

@@ -481,6 +481,32 @@ def cmd_pipeline(args) -> dict:
     }
 
 
+def cmd_media_dupes(args) -> dict:
+    """Multimodal near-dup detection over a media table (media_id, kind,
+    payload, mime, ...): decode (BMP/WAV), perceptual-hash, banded
+    Hamming candidates kind-scoped. The list-dupes verb for payloads
+    the exact-sha path can't see through (re-encodes / noisy copies)."""
+    spark = _spark(args)
+    from .operators.multimodal import exact_dup_media, phash_dup_pairs
+
+    media, sampled = _maybe_sample(spark.read.parquet(args.input))
+    media = media.localCheckpoint(eager=True)  # feeds phash + exact paths
+    pairs = phash_dup_pairs(
+        media, max_hamming=args.max_hamming
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    sample = [r.asDict() for r in
+              pairs.orderBy("kind", "media_id_a", "media_id_b").limit(5).collect()]
+    n_exact = exact_dup_media(media).count()
+    return {
+        "verb": "media-dupes",
+        "near_dup_pairs": n_pairs,
+        "exact_dup_rows": n_exact,
+        "sample": sample,
+        "sampled": sampled,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deduplicator_go_spark")
     p.add_argument("--catalog", default="/tmp/dedup-catalog")
@@ -563,6 +589,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--respect-limits", action="store_true")
     s.add_argument("--dry-run", action="store_true")
     s.set_defaults(fn=cmd_dedupe_group)
+
+    s = sub.add_parser("media-dupes"); s.add_argument("--input", required=True)
+    s.add_argument("--max-hamming", type=int, default=3)
+    s.set_defaults(fn=cmd_media_dupes)
 
     s = sub.add_parser("serve")
     s.add_argument("--table", default="catalog")

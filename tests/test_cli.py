@@ -131,6 +131,23 @@ def test_cli_sampling_profile(capsys, docs_parquet, tmp_path, monkeypatch):
     assert out["groups"] < 18
 
 
+def test_cli_media_dupes(capsys, spark, tmp_path):
+    """media-dupes verb: decode + perceptual-hash + banded Hamming over
+    a media parquet table — finds exactly the planted noisy re-renders
+    (which the exact-sha path cannot see: 0 exact dups)."""
+    from deduplicator_go_spark.fixtures import media as fx
+
+    ids = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    p = str(tmp_path / "media.parquet")
+    fx.synthetic_media(ids, "doc_id").write.parquet(p)
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "media-dupes", "--input", p])
+    assert out["near_dup_pairs"] == len(fx.truth_pairs(list(range(64))))
+    assert out["exact_dup_rows"] == 0  # noisy copies differ byte-wise
+    assert len(out["sample"]) == 5
+    assert out["sampled"] is False
+
+
 def test_cli_hash_priority_paths(capsys, corpus, spark, tmp_path):
     """U5 + O4: repeated --priority-path args are deduped
     order-preserving, and the frontier hashes priority-prefix rows
