@@ -222,10 +222,20 @@ def lsh_topk(
 
     bands = hyperplane_band_table(emb, n_bits, n_bands, seed, id_col, vec_col)
     pairs = grid_all_pairs(bands, ["band_id", "band_val"], "id", cell_cap)
-    # per-query top-k needs both directions of each unordered pair
-    sym = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    # per-query top-k needs both directions of each unordered pair; a
+    # single-pass explode, NOT a self-union — a union would re-derive
+    # the whole grid join once per branch (plan-audited; the
+    # multi-consumer re-derivation class from BENCH/EVIDENCE.md r2)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a"), F.col("id_b")),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                ),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     scored = _attach_vectors(sym, emb, id_col, vec_col).select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     )

@@ -82,6 +82,34 @@ def test_anti_join_stays_join_not_subquery_loop(spark, sf_dir):
     assert "LeftAnti" in p
 
 
+def test_embedding_bands_shuffle_without_vectors(spark):
+    """Round-2 defect class: the hyperplane band table used to carry
+    the full vector through the band explode, shuffling every vector
+    n_bands× per join side. The band table must be payload-free and the
+    pair-generation plan must not reference the embedding column —
+    vectors attach by id only after pair dedup."""
+    import numpy as np
+
+    from deduplicator_go_spark.operators.lsh import grid_all_pairs
+    from deduplicator_go_spark.operators.similarity import hyperplane_band_table
+
+    rng = np.random.default_rng(2)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    bands = hyperplane_band_table(emb)
+    assert set(bands.columns) == {"id", "band_id", "band_val"}
+    # materialize=True pins the cell table; everything above the pin —
+    # the self-join that actually shuffles — must not touch the vector
+    # column (the scan below the pin legitimately reads it once for the
+    # signature UDF)
+    pairs = grid_all_pairs(bands, ["band_id", "band_val"], "id", materialize=True)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "embedding" not in plan
+    assert set(pairs.columns) == {"id_a", "id_b"}
+
+
 def test_verify_estimate_materialized_once(spark):
     """The tiered verifier's clear/borderline branches must consume a
     pinned estimate table: if the localCheckpoint is dropped, the two
