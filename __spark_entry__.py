@@ -208,6 +208,20 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Gopher-style corpus hygiene: per-doc rule flags + keep decision
+    (runs before dedup so junk never pays signature cost)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = TX.quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["too_short"].alias("too_short"),
+        f["low_alpha"].alias("low_alpha"),
+        f["bad_token_len"].alias("bad_token_len"),
+        f["keep"].alias("keep"),
+    )
+
+
 def _q_ngram_pairs(spark, sf_dir):
     """Word-trigram Jaccard dup pairs over the injected-dup view."""
     base = _docs_with_dups(spark, sf_dir)
@@ -777,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agg": _q_lang_agg,
         "fingerprints": _q_fingerprints,
         "quality_features": _q_quality,
+        "quality_filter": _q_quality_filter,
         "ngram_pairs": _q_ngram_pairs,
         "embedding_topk": _q_embedding_topk,
         "anti_join_customers": _q_anti_join_customers,
@@ -908,6 +923,30 @@ def oracle_sql() -> dict[str, str]:
                          / len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE
                     ELSE 0.0 END, 6) AS mean_token_len
             FROM documents
+        """,
+        "quality_filter": """
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                     CASE WHEN length(trim(text)) > 0
+                               AND len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^\\s]', '', 'g')))
+                               / len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE
+                          ELSE 0.0 END AS mtl
+              FROM documents
+            )
+            SELECT doc_id,
+                   (n_chars < 120 OR n_tokens < 25) AS too_short,
+                   (alpha_ratio < 0.75) AS low_alpha,
+                   (mtl < 2.5 OR mtl > 12.0) AS bad_token_len,
+                   (NOT (n_chars < 120 OR n_tokens < 25)
+                    AND NOT (alpha_ratio < 0.75)
+                    AND NOT (mtl < 2.5 OR mtl > 12.0)) AS keep
+            FROM f
         """,
         "ngram_pairs": f"""
             WITH base AS ({dup_base}),

@@ -38,7 +38,7 @@ HEADLINE_RUNS = int(os.environ.get("BENCH_HEADLINE_RUNS", "3"))
 # scheduling, checkpoint commits — constants that vanish at production
 # scale) don't drown the compute signal
 N_SCALING = int(os.environ.get("BENCH_SCALING_N_DOCS", str(max(N_DOCS, 200000))))
-SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "4"))
 # soft wall budget for the whole bench: scaling rounds after the first
 # are skipped once 80% is spent, so floors degrade gracefully instead
 # of the bench overrunning an external timeout

@@ -121,6 +121,27 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_flags(text: Column,
+                  min_chars: int = 120,
+                  min_tokens: int = 25,
+                  min_alpha_ratio: float = 0.75,
+                  token_len_range: tuple[float, float] = (2.5, 12.0)) -> dict[str, Column]:
+    """Gopher-style per-document filter rules over the native quality
+    features: each flag marks a failed rule; ``keep`` is the composite
+    decision. Pure column algebra (SQL-expressible, oracle-checked) —
+    the pre-training corpus hygiene pass that runs BEFORE dedup so
+    boilerplate junk never pays signature cost."""
+    f = quality_features(text)
+    flags = {
+        "too_short": (f["n_chars"] < min_chars) | (f["n_tokens"] < min_tokens),
+        "low_alpha": f["alpha_ratio"] < min_alpha_ratio,
+        "bad_token_len": (f["mean_token_len"] < token_len_range[0])
+        | (f["mean_token_len"] > token_len_range[1]),
+    }
+    keep = ~flags["too_short"] & ~flags["low_alpha"] & ~flags["bad_token_len"]
+    return {**flags, "keep": keep}
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: rewards alphabetic density and sane
     token lengths, penalizes extremes; deterministic column algebra."""

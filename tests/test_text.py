@@ -50,3 +50,25 @@ def test_fingerprint_collapses_whitespace_case(spark):
     )
     fps = [r[0] for r in df.select(X.fingerprint(F.col("t"))).collect()]
     assert fps[0] == fps[1]
+
+
+def test_quality_flags_rules(spark):
+    """Gopher-style hygiene rules: each flag fires on its own pathology
+    and keep is the conjunction."""
+    long_good = ("the quick brown fox jumps over the lazy dog and keeps "
+                 "running through the sunny field today ") * 4
+    df = spark.createDataFrame(
+        [("good", long_good),
+         ("short", "tiny text"),
+         ("symbols", "$$$ %%% ### !!! @@@ ^^^ &&& *** ((( ))) " * 8),
+         ("onetoken", "x" * 400)],
+        "name string, t string",
+    )
+    f = X.quality_flags(F.col("t"))
+    rows = {r["name"]: r for r in df.select(
+        "name", f["too_short"].alias("ts"), f["low_alpha"].alias("la"),
+        f["bad_token_len"].alias("btl"), f["keep"].alias("keep")).collect()}
+    assert rows["good"]["keep"] and not rows["good"]["ts"]
+    assert rows["short"]["ts"] and not rows["short"]["keep"]
+    assert rows["symbols"]["la"] and not rows["symbols"]["keep"]
+    assert rows["onetoken"]["btl"] and not rows["onetoken"]["keep"]
