@@ -168,6 +168,82 @@ def test_grid_all_pairs_exact_and_bounded(spark):
     assert max(r["count"] for r in per_cell) <= 4 * cap
 
 
+def test_wide_band_config_never_collapses(spark):
+    """Round-3 weak component: the headline adaptive policy (n_bands=10
+    × auto_band_width) exceeded the old single-int64 signature packing
+    for any corpus over 2,048 vectors — every band above bit 63 read 0
+    for ALL rows, i.e. one corpus-wide bucket per high band and
+    quadratic candidate work the recall gate structurally cannot see.
+    With per-band packing, at n=4,096 (width 7 × 10 bands = 70 bits —
+    past the old cliff) every band must spread into many distinct
+    values and no bucket may approach corpus size."""
+    from deduplicator_go_spark.operators.similarity import (
+        auto_band_width,
+        hyperplane_band_table,
+    )
+
+    n, n_bands = 4096, 10
+    width = auto_band_width(n)
+    assert n_bands * width > 64  # the config the old packing truncated
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64("id", F.lit(j)), F.lit(2001)) / 1000.0 - 1.0)
+                for j in range(16)
+            ]
+        ).cast("array<double>").alias("embedding"),
+    )
+    bands = hyperplane_band_table(emb, n_bits=n_bands * width, n_bands=n_bands)
+    stats = (
+        bands.groupBy("band_id")
+        .agg(
+            F.countDistinct("band_val").alias("nv"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(stats) == n_bands
+    for r in stats:
+        assert r["n"] == n
+        assert r["nv"] > 2, f"band {r['band_id']} collapsed to {r['nv']} values"
+    biggest = (
+        bands.groupBy("band_id", "band_val").count().agg(F.max("count")).first()[0]
+    )
+    # expected bucket ≈ n / 2^width = 32; hash imbalance slack, but a
+    # collapsed band would put all 4096 rows in one bucket
+    assert biggest <= 16 * (n >> width)
+
+
+def test_band_values_match_legacy_extraction(spark):
+    """For n_bits <= 63 (where the old single-long packing was legal),
+    per-band packing must produce bit-identical band values to the
+    legacy shift-and-mask extraction over hyperplane_signatures — the
+    representation changed, the banding semantics did not."""
+    from deduplicator_go_spark.operators.similarity import (
+        hyperplane_band_table,
+        hyperplane_signatures,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(12)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    n_bits, n_bands = 48, 6
+    width = n_bits // n_bands
+    got = {
+        (r["id"], r["band_id"]): r["band_val"]
+        for r in hyperplane_band_table(emb, n_bits, n_bands).collect()
+    }
+    sigs = {r["id"]: r["hsig"] for r in hyperplane_signatures(emb, n_bits).collect()}
+    for (vid, b), val in got.items():
+        assert val == (sigs[vid] >> (b * width)) & ((1 << width) - 1)
+
+    with pytest.raises(ValueError, match="single int64"):
+        hyperplane_signatures(emb, n_bits=70)
+
+
 def test_embedding_lsh_hot_bucket_bounded(spark):
     """A deliberately clustered embedding corpus (every vector in one
     hyperplane bucket): embedding_dup_pairs must go through the salted
