@@ -492,7 +492,7 @@ def cmd_media_dupes(args) -> dict:
     media, sampled = _maybe_sample(spark.read.parquet(args.input))
     media = media.localCheckpoint(eager=True)  # feeds phash + exact paths
     pairs = phash_dup_pairs(
-        media, max_hamming=args.max_hamming
+        media, max_hamming=args.max_hamming, strict=args.strict
     ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     sample = [r.asDict() for r in
@@ -592,6 +592,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("media-dupes"); s.add_argument("--input", required=True)
     s.add_argument("--max-hamming", type=int, default=3)
+    # fail fast on undecodable payloads instead of hashing them to NULL
+    s.add_argument("--strict", action="store_true")
     s.set_defaults(fn=cmd_media_dupes)
 
     s = sub.add_parser("serve")

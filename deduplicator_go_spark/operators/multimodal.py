@@ -233,7 +233,10 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
     for WAV audio) via mapInPandas — payload bytes stay in Arrow
     batches. Unsupported mimes raise under ``strict`` (default: a
     perceptual hash of undecodable bytes would be meaningless), else
-    the row is emitted with phash NULL so callers can filter."""
+    the row is emitted with phash NULL so callers can filter — and the
+    NULL contract covers codec-level NotImplementedError too (e.g. a
+    payload declared image/bmp whose header says bpp != 24), not just
+    malformed bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -252,7 +255,7 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
                             f"decoding mime {mime!r} requires codec libraries "
                             "not present in this image"
                         )
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, NotImplementedError, struct.error, IndexError):
                     if strict:
                         raise
                     ph = None
@@ -266,16 +269,23 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
     )
 
 
-def phash_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, strict: bool = False
+) -> DataFrame:
     """Multimodal near-dup pairs: perceptual hash → the SAME banded
     Hamming candidate machinery as the text SimHash path (pigeonhole-
     complete for max_hamming < 4 bands), scoped per media kind so an
     image can never pair with an audio clip.
 
+    Defaults to ``strict=False``: undecodable rows hash to NULL and the
+    filter below drops them, so one unsupported-mime row cannot fail a
+    corpus-wide dedup job (pass ``strict=True`` to fail fast instead —
+    e.g. when the corpus is contractually all-BMP/WAV).
+
     → (media_id_a, media_id_b, kind, hamming)."""
     from .simhash import simhash_candidates
 
-    sig = perceptual_hashes(media).filter(F.col("phash").isNotNull())
+    sig = perceptual_hashes(media, strict=strict).filter(F.col("phash").isNotNull())
     keyed = sig.select(
         "kind", F.col("media_id").alias("url"), F.col("phash").alias("simhash")
     )

@@ -148,6 +148,36 @@ def verify_substr_pairs(
     )
 
 
+def prune_substr_candidates(
+    cands: DataFrame,
+    exclude_pairs: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Pre-verify pruning (the reference's size-blocking shape —
+    expensive compute only where cheap keys collide,
+    /root/reference/files/hash.go:37-48):
+    - ``exclude_pairs`` (url_a, url_b) drops candidates already verified
+      as whole-document near-dups;
+    - ``sigs`` (url, content_sha) drops candidates whose contents are
+      byte-identical (exact dup groups trivially share every block).
+    Both classes are already clustered upstream; re-running LCS on them
+    is the dominant wasted cost otherwise. Shared by the one-shot
+    ``substr_pairs`` and the pipeline's tick-incremental substr stage."""
+    if exclude_pairs is not None:
+        cands = cands.join(
+            exclude_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
+        )
+    if sigs is not None:
+        sha = sigs.select("url", "content_sha")
+        cands = (
+            cands.join(sha.withColumnsRenamed({"url": "url_a", "content_sha": "sha_a"}), "url_a")
+            .join(sha.withColumnsRenamed({"url": "url_b", "content_sha": "sha_b"}), "url_b")
+            .filter(F.col("sha_a") != F.col("sha_b"))
+            .select("url_a", "url_b")
+        )
+    return cands
+
+
 def substr_pairs(
     docs: DataFrame,
     min_len: int = 512,
@@ -161,15 +191,10 @@ def substr_pairs(
 ) -> DataFrame:
     """Full substring pass: anchors → blocked candidates → exact verify.
 
-    Pre-verify pruning (the reference's size-blocking shape — expensive
-    compute only where cheap keys collide, /root/reference/files/
-    hash.go:37-48):
-    - ``exclude_pairs`` (url_a, url_b) drops candidates already verified
-      as whole-document near-dups;
-    - ``sigs`` (url, content_sha) drops candidates whose contents are
-      byte-identical (exact dup groups trivially share every block).
-    Both classes are already clustered upstream; re-running LCS on them
-    is the dominant wasted cost otherwise."""
+    One-shot form (the whole corpus every call); the pipeline's substr
+    stage runs the same three steps tick-incrementally over a staged
+    anchor table (plans/pipeline.py) so a daily ingest never re-anchors
+    or re-verifies the standing corpus."""
     # docs shorter than min_len cannot hold a qualifying block
     # (LCS <= min(len)): dropping them up front removes their anchor
     # explode, candidate shuffle, and text-attach join entirely
@@ -178,16 +203,5 @@ def substr_pairs(
     cands = candidate_pairs(
         anchors, pair_cap, salt, collision_broadcast=collision_broadcast
     ).select("url_a", "url_b")
-    if exclude_pairs is not None:
-        cands = cands.join(
-            exclude_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
-        )
-    if sigs is not None:
-        sha = sigs.select("url", "content_sha")
-        cands = (
-            cands.join(sha.withColumnsRenamed({"url": "url_a", "content_sha": "sha_a"}), "url_a")
-            .join(sha.withColumnsRenamed({"url": "url_b", "content_sha": "sha_b"}), "url_b")
-            .filter(F.col("sha_a") != F.col("sha_b"))
-            .select("url_a", "url_b")
-        )
+    cands = prune_substr_candidates(cands, exclude_pairs, sigs)
     return verify_substr_pairs(cands, docs, min_len).filter("has_block")

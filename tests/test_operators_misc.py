@@ -433,6 +433,43 @@ def test_perceptual_hash_strict_raises_on_unsupported(media):
     assert all(r["phash"] is None for r in rows)  # fixture payloads are fakes
 
 
+def test_phash_nonstrict_survives_unsupported_bmp_variant(spark):
+    """Round-3 advisor finding: a payload declared image/bmp whose
+    header says bpp != 24 raises NotImplementedError from decode_bmp,
+    which the non-strict except tuple used to miss — one such row
+    crashed the whole UDF despite the 'emit NULL and filter' contract.
+    The dup job must also survive it end-to-end (phash_dup_pairs
+    defaults to strict=False and filters NULL hashes)."""
+    import struct
+
+    from deduplicator_go_spark.fixtures import media as fx
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    corpus = fx.synthetic_media(ids, "doc_id")
+    # well-formed BMP header claiming 32 bpp -> NotImplementedError path
+    bad = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, 16, 2835, 2835, 0, 0
+    ) + b"\x00" * 16
+    bad_row = spark.createDataFrame(
+        [("bad1", "image", "image/bmp", bytearray(bad))],
+        "media_id string, kind string, mime string, payload binary",
+    )
+    view = corpus.select("media_id", "kind", "mime", "payload").unionByName(bad_row)
+
+    hashes = {r["media_id"]: r["phash"]
+              for r in multimodal.perceptual_hashes(view, strict=False).collect()}
+    assert hashes["bad1"] is None
+    assert sum(v is not None for v in hashes.values()) == len(hashes) - 1
+    # (spark wraps the worker-side NotImplementedError in PythonException)
+    with pytest.raises(Exception, match="24-bit"):
+        multimodal.perceptual_hashes(view, strict=True).collect()
+
+    pairs = multimodal.phash_dup_pairs(view, max_hamming=3).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    assert got == fx.truth_pairs(list(range(8)))
+    assert not any("bad1" in p for p in got)
+
+
 def test_media_stats_and_exact_dups(media):
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 2, "audio": 1, "video": 1}
