@@ -521,13 +521,56 @@ def _q_media_phash_dups(spark, sf_dir):
     return multimodal.phash_dup_pairs(media, max_hamming=3)
 
 
+def _ann_truth_view(spark, sf_dir):
+    """embeddings ∪ three EXACT copies per vector (vec_id + j·10^6).
+
+    The planted-truth view for VALUE-checked ANN oracles: an exact copy
+    has an identical hyperplane signature (shares every band bucket) and
+    an identical IVF cell assignment (same argmax over centroid sims),
+    so every family member is PROVABLY in its siblings' candidate sets —
+    not probabilistically, structurally. Family cosines are exactly 1.0
+    (after the 6-decimal round) vs ≤ ~0.51 for isotropic non-copies, so
+    each vector's top-3 is its three siblings ranked by ascending id —
+    a closed form DuckDB can generate. (The jittered ``_ann_eval_view``
+    stays the recall-gate input: measured ~0.98 candidate recall there
+    makes it a quality measurement, not an exact oracle.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = emb
+    for j in (1, 2, 3):
+        out = out.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(j * 1000000)).alias("vec_id"), "embedding"
+            )
+        )
+    return out
+
+
+# shared by the ivf_topk and embedding_topk_ann oracles: the provable
+# answer set on _ann_truth_view — each id's top-3 = its three exact
+# copies at cos 1.0, ranked by ascending neighbor id
+_ANN_TRUTH_TOPK_SQL = """
+    WITH j(j) AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+    fam AS (
+      SELECT e.vec_id AS base, CAST(e.vec_id + j.j * 1000000 AS BIGINT) AS id
+      FROM embeddings e CROSS JOIN j
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS cos,
+           CAST(row_number() OVER (PARTITION BY a.id ORDER BY b.id) AS INT) AS rank
+    FROM fam a JOIN fam b ON a.base = b.base AND a.id <> b.id
+"""
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k neighbors (seeded coarse quantizer +
-    n_probe cells); rows-only (approximate by design)."""
+    n_probe cells) over the planted-truth view — VALUE-checked
+    (membership + rank + cos): exact copies land in the same coarse
+    cell deterministically, so the probe join must surface all three
+    siblings for every query (see _ann_truth_view)."""
     from deduplicator_go_spark.operators.ivf import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, k=3, n_cells=8, n_probe=3)
+    return ivf_topk(_ann_truth_view(spark, sf_dir), k=3, n_cells=8, n_probe=3)
 
 
 def _q_embedding_lsh_dups(spark, sf_dir):
@@ -730,13 +773,16 @@ def _ann_recall_gate(spark, sf_dir, path_name):
 
 
 def _q_embedding_topk_ann(spark, sf_dir):
-    """Headline ANN slot: hyperplane-LSH top-3 over the planted-neighbor
-    view — the 100 TB shape (banded bucket join, bounded grid cells for
-    hot buckets, vectors attached by id after pair dedup; no driver-side
-    collect/toPandas anywhere in the plan). Wide 16-bit bands keep the
-    bucket join selective at scale; quality is enforced by the
-    lsh_recall gate. Rows-only (seeded random hyperplanes)."""
-    view = _ann_eval_view(spark, sf_dir)
+    """Headline ANN slot: hyperplane-LSH top-3 over the planted-truth
+    view — the 100 TB shape (banded bucket join with per-band packing
+    so the density-adaptive width has no 64-bit ceiling, bounded grid
+    cells for hot buckets, vectors attached by id after pair dedup; no
+    driver-side collect/toPandas anywhere in the plan). VALUE-checked
+    (membership + rank + cos): exact copies share every band bucket, so
+    the answer set is provably each id's three siblings at cos 1.0 (see
+    _ann_truth_view); approximation *quality* on jittered neighbors is
+    separately enforced by the lsh_recall gate."""
+    view = _ann_truth_view(spark, sf_dir)
     return similarity.lsh_topk(view, k=3, n_bits=None, n_bands=10, cell_cap=256)
 
 
@@ -1227,6 +1273,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS cos
             FROM embeddings WHERE vec_id % 10 = 0
         """,
+        # ANN top-k truth (see _ann_truth_view): exact copies make the
+        # top-3 answer set closed-form — each id's three siblings at
+        # cos 1.0, ranked by ascending neighbor id. Checks membership,
+        # rank, and cosine of both approximate paths end-to-end.
+        "ivf_topk": _ANN_TRUTH_TOPK_SQL,
+        "embedding_topk_ann": _ANN_TRUTH_TOPK_SQL,
         # Multimodal dedup truth: the synthetic corpus plants exactly the
         # pairs (id-4, id) for id % 8 in (4, 5); perceptual hashes must
         # match within a planted pair (noise-invariant by design) and
