@@ -1,15 +1,24 @@
 """Benchmark harness.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (per-stage detail goes to
+BENCH/bench_detail.json — inlining it made the line unparseable for
+the driver two rounds running):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "dedup": {docs_per_sec, n_docs, wall_sec},
-   "scaling": {cores_lo, cores_hi, docs_per_sec_lo, docs_per_sec_hi,
-               efficiency}}
+   "queries": {name: floor_sec, ...}, "sf": ...,
+   "dedup": {n_docs, wall_sec, docs_per_sec, docs_per_sec_floor,
+             recall, false_merges},
+   "scaling": {cores_lo, cores_hi, n_docs,
+               this_run: {efficiency, efficiency_compute,
+                          efficiency_median_round, ...},   # HEADLINE
+               floor_bound: {...}}}                        # supplementary
 
 and refreshes BENCH/BASELINE.md with the scaling-efficiency evidence
 (north rule: same job at N and 4N parallelism on the same input;
 efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo)).
+The headline scaling statistic comes from THIS invocation alone (own
+floors + median of per-round efficiencies); the cross-invocation
+cumulative floor is reported as a supplementary bound because it
+monotonically improves with reruns.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_N_DOCS (default 20000),
@@ -55,7 +64,7 @@ SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "4"))
 SCALE_LO = max(1, SCALE_HI // 4)
 # stages whose cost grows with data (vs fixed-latency bookkeeping)
 SCALABLE_STAGES = ["minhash_sigs", "band_rows", "candidates", "verified_pairs",
-                   "substr_pairs", "clusters"]
+                   "anchor_rows", "substr_pairs", "clusters"]
 
 HEADLINE = [
     "exact_dup_groups",
@@ -309,22 +318,26 @@ def main() -> None:
             lo_runs: dict[str, int] = {}
             hi_task: dict[str, int] = {}
             lo_task: dict[str, int] = {}
+            round_walls: list[dict] = []  # per-round (lo, hi) stage-sum walls
             rounds_done = 0
             for i in range(SCALING_RUNS):
                 if i > 0 and time.time() - t_all > BUDGET_SEC * 0.8:
                     break  # keep floors from completed rounds
                 rounds_done += 1
-                for cores, mins, tmins in (
-                    (hi_cores, hi_runs, hi_task),
-                    (lo_cores, lo_runs, lo_task),
+                rw: dict[str, float] = {}
+                for level, cores, mins, tmins in (
+                    ("hi", hi_cores, hi_runs, hi_task),
+                    ("lo", lo_cores, lo_runs, lo_task),
                 ):
                     s = _fresh_spark(cores, ui=True)
                     r = run_pipeline(s, sc_parquet, N_SCALING, None, task_time=True)
                     s.stop()
+                    rw[level] = sum(r["stages"].values()) / 1000.0
                     for k, v in r["stages"].items():
                         mins[k] = min(mins.get(k, 1 << 60), v)
                     for k, v in r.get("stage_run_ms", {}).items():
                         tmins[k] = min(tmins.get(k, 1 << 60), v)
+                round_walls.append(rw)
             def _metrics(lo_f, hi_f, lo_t, hi_t):
                 """Efficiency + adjusted decomposition from per-stage
                 floors and executor-task-time minima."""
@@ -378,33 +391,105 @@ def main() -> None:
                 }
                 return out
 
-            # headline scaling numbers come from the CUMULATIVE floor
-            # cache: per-stage minima merged across bench invocations of
-            # the identical job (code-fingerprint-gated). Floors across
-            # invocations compose exactly like extra interleaved rounds
-            # within one — the host steals in multi-minute windows, so a
-            # single invocation can have every hi round inflated; the
-            # cumulative floor converges on the engine's speed. The
-            # current invocation's own floors are reported alongside.
+            # HEADLINE scaling is a single-invocation statistic (this
+            # invocation's own per-stage floors + the median of its
+            # per-round efficiencies) — repeated invocations cannot
+            # inflate it. The CUMULATIVE floor cache (per-stage minima
+            # merged across invocations of the bit-identical job,
+            # code-fingerprint-gated) is reported alongside as a bound:
+            # it is a consistent estimator of contention-free speed
+            # under additive host steal, but it monotonically improves
+            # with reruns, so it is supplementary, not the headline.
+            ratio = hi_cores / lo_cores
+            this_run = _metrics(lo_runs, hi_runs, lo_task, hi_task)
+            effs = sorted(
+                (rw["lo"] / rw["hi"]) / ratio for rw in round_walls if rw.get("hi")
+            )
+            if effs:
+                m = len(effs) // 2
+                this_run["efficiency_median_round"] = round(
+                    effs[m] if len(effs) % 2 else (effs[m - 1] + effs[m]) / 2, 3
+                )
+                this_run["efficiency_per_round"] = [round(e, 3) for e in effs]
+            this_run["rounds"] = rounds_done
+
             merged = _merge_floor_cache(lo_runs, hi_runs, lo_task, hi_task, rounds_done)
-            scaling = _metrics(merged["lo"], merged["hi"],
-                               merged["lo_task"], merged["hi_task"])
-            scaling.update({
-                "cores_lo": lo_cores,
-                "cores_hi": hi_cores,
-                "n_docs": N_SCALING,
+            floor_bound = _metrics(merged["lo"], merged["hi"],
+                                   merged["lo_task"], merged["hi_task"])
+            floor_bound.update({
                 "rounds": merged["rounds_total"],
                 "invocations": merged["invocations"],
                 "floors": "cumulative per-stage minima across invocations "
                           "(code-fingerprint-gated; see BENCH/scaling_floors.json)",
-                "this_run": {
-                    "rounds": rounds_done,
-                    **_metrics(lo_runs, hi_runs, lo_task, hi_task),
-                },
             })
+            scaling = {
+                "cores_lo": lo_cores,
+                "cores_hi": hi_cores,
+                "n_docs": N_SCALING,
+                "this_run": this_run,
+                "floor_bound": floor_bound,
+            }
             _write_baseline_md(queries, dedup_hi, scaling)
 
         total = round(sum(queries.values()) + dedup_hi["wall_sec"], 3)
+
+        # ONE COMPACT JSON LINE on stdout — the driver's graded record.
+        # Rounds 2 and 3 shipped every per-stage dict inline and the
+        # driver failed to parse the line both times (VERDICT r3 What's
+        # wrong #2); all per-stage detail now goes to BENCH/ files.
+        def _slim_scaling(sc) -> dict | None:
+            if sc is None:
+                return None
+            tr, fb = sc["this_run"], sc["floor_bound"]
+            pick = lambda d, ks: {k: d[k] for k in ks if k in d}
+            slim_run = pick(tr, [
+                "rounds", "efficiency", "efficiency_compute",
+                "efficiency_median_round", "efficiency_per_round",
+                "docs_per_sec_lo", "docs_per_sec_hi",
+                "wall_floor_lo_sec", "wall_floor_hi_sec",
+            ])
+            if "adjusted" in tr:
+                slim_run["inflation"] = tr["adjusted"].get("inflation")
+                slim_run["efficiency_adjusted"] = tr["adjusted"].get(
+                    "efficiency_adjusted"
+                )
+            slim_bound = pick(fb, [
+                "rounds", "invocations", "efficiency", "efficiency_compute",
+                "docs_per_sec_lo", "docs_per_sec_hi",
+            ])
+            if "adjusted" in fb:
+                slim_bound["efficiency_adjusted"] = fb["adjusted"].get(
+                    "efficiency_adjusted"
+                )
+            return {
+                "cores_lo": sc["cores_lo"],
+                "cores_hi": sc["cores_hi"],
+                "n_docs": sc["n_docs"],
+                "this_run": slim_run,
+                "floor_bound": slim_bound,
+                "detail": "BENCH/bench_detail.json",
+            }
+
+        slim_dedup = {
+            k: dedup_hi[k]
+            for k in ("n_docs", "wall_sec", "docs_per_sec", "wall_floor_sec",
+                      "docs_per_sec_floor", "recall", "false_merges")
+            if k in dedup_hi
+        }
+        if "recall_per_kind" in dedup_hi:
+            slim_dedup["recall_per_kind"] = dedup_hi["recall_per_kind"]
+
+        detail = {
+            "queries_floor": queries,
+            "queries_hi": queries_hi,
+            "headline_runs": HEADLINE_RUNS,
+            "dedup": dedup_hi,
+            "scaling": scaling,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=1)
+
         print(
             json.dumps(
                 {
@@ -412,11 +497,9 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": queries,
-                    "headline_runs": HEADLINE_RUNS,
-                    "queries_hi": queries_hi,
                     "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                    "dedup": dedup_hi,
-                    "scaling": scaling,
+                    "dedup": slim_dedup,
+                    "scaling": _slim_scaling(scaling),
                     "bench_wall_sec": round(time.time() - t_all, 1),
                 }
             )
@@ -427,6 +510,10 @@ def main() -> None:
 
 def _write_baseline_md(queries, dedup, scaling) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    tr = scaling["this_run"]
+    fb = scaling["floor_bound"]
+    tr_adj = tr.get("adjusted") or {}
+    fb_adj = fb.get("adjusted") or {}
     lines = [
         "# BENCH/BASELINE.md — measured numbers (this engine)",
         "",
@@ -444,73 +531,70 @@ def _write_baseline_md(queries, dedup, scaling) -> None:
         "",
         "A real multi-executor cluster is unavailable in this sandbox; per the",
         "driver's instruction the same job ran at two local parallelism levels",
-        f"on the same input ({scaling.get('rounds', SCALING_RUNS)} interleaved fresh-session rounds per",
-        f"level, accumulated over {scaling.get('invocations', 1)} bench invocation(s) of the",
-        "bit-identical job — per-stage minima = 'floor', merged across",
-        "invocations (code-fingerprint-gated, BENCH/scaling_floors.json):",
-        "the host steals CPU in multi-minute windows, so any single",
-        "invocation can have every high-level round inflated; the",
-        "cumulative floor converges on the engine's contention-free",
-        "speed. Levels are local[%d] vs local[%d]:" % (
-            scaling["cores_lo"], scaling["cores_hi"]),
-        "host calibration (BENCH/EVIDENCE.md) shows this overcommitted VM",
-        "delivers clean linear scaling only inside ~8 concurrent threads",
-        "(mp.Pool on the engine's own minhash kernel: 2→8 procs = 1.02",
-        "efficiency) while aggregate DRAM bandwidth saturates near 17 GB/s —",
-        "a Spark level of local[k] demands ~2k+ threads (task threads +",
-        "python workers + JVM services), so levels beyond local[4] measure",
-        "the host ceiling, not the engine. On a real N→4N executor cluster",
-        "each executor brings its own DRAM and cores.",
+        "on the same input — local[%d] vs local[%d], %d interleaved" % (
+            scaling["cores_lo"], scaling["cores_hi"], tr.get("rounds", SCALING_RUNS)),
+        "fresh-session rounds per level in THIS invocation. Host calibration",
+        "(BENCH/EVIDENCE.md) shows this overcommitted VM delivers clean linear",
+        "scaling only inside ~8 concurrent threads (mp.Pool on the engine's own",
+        "minhash kernel: 2→8 procs = 1.02 efficiency) while aggregate DRAM",
+        "bandwidth saturates near 17 GB/s — a Spark level of local[k] demands",
+        "~2k+ threads, so levels beyond local[4] measure the host ceiling, not",
+        "the engine. On a real N→4N executor cluster each executor brings its",
+        "own DRAM and cores.",
+        "",
+        "### Headline (this invocation alone — repeated runs cannot inflate it)",
         "",
         "| parallelism | pipeline floor (s) | docs/sec | data-scaling stages only (s) |",
         "|---|---|---|---|",
-        f"| local[{scaling['cores_lo']}] | {scaling['wall_floor_lo_sec']} | {scaling['docs_per_sec_lo']} | {scaling['compute_sec_lo']} |",
-        f"| local[{scaling['cores_hi']}] | {scaling['wall_floor_hi_sec']} | {scaling['docs_per_sec_hi']} | {scaling['compute_sec_hi']} |",
+        f"| local[{scaling['cores_lo']}] | {tr['wall_floor_lo_sec']} | {tr['docs_per_sec_lo']} | {tr['compute_sec_lo']} |",
+        f"| local[{scaling['cores_hi']}] | {tr['wall_floor_hi_sec']} | {tr['docs_per_sec_hi']} | {tr['compute_sec_hi']} |",
         "",
-        f"overall: speedup {scaling['speedup']}x / efficiency {scaling['efficiency']} · ",
-        f"data-scaling stages: speedup {scaling['speedup_compute']}x / **efficiency {scaling['efficiency_compute']}**",
+        f"overall: speedup {tr['speedup']}x / **efficiency {tr['efficiency']}** · "
+        f"data-scaling stages: speedup {tr['speedup_compute']}x / **efficiency {tr['efficiency_compute']}** "
         f"over a {scaling['cores_hi'] // scaling['cores_lo']}x core increase.",
-        "",
+        f"Median of per-round efficiencies: **{tr.get('efficiency_median_round', 'n/a')}** "
+        f"(per round: {tr.get('efficiency_per_round', [])}).",
     ] + ([
-        f"(this invocation alone: efficiency {tr['efficiency']} overall / "
-        f"{tr['efficiency_compute']} data-stages from {tr['rounds']} round(s); "
-        f"its task-time inflation was {tr['adjusted']['inflation']}x — the raw "
-        "per-invocation number tracks the host's steal state, which is why the "
-        "cumulative floor is the headline)",
+        f"Task-time inflation this invocation {tr_adj['inflation']}x "
+        f"(hi-level host-contention tax, measured from executor task time); "
+        f"inflation-adjusted data-stage efficiency **{tr_adj['efficiency_adjusted']}** "
+        "— the adjustment subtracts only the measured contention a real N→4N",
+        "executor cluster does not pay (each executor owns its DRAM; the tax is",
+        "reproduced outside Spark by mp.Pool on the same kernels, BENCH/EVIDENCE.md).",
+    ] if tr_adj else []) + [
         "",
-    ] if (tr := scaling.get("this_run")) else []) + [
-        "Fixed costs and host contention are separately accounted via",
-        "executor task time (stage_task_ms_lo/hi in BENCH_r*.json): at the",
-        "lo level task time ~= wall (no idle slots); at the hi level each",
-        "stage decomposes into task-time inflation (host contention — the",
-        "shared-DRAM/steal tax, reproduced outside Spark by mp.Pool on the",
-        "same kernels, see BENCH/EVIDENCE.md) and scheduling slack",
-        "(wall - task/cores). Subtracting only the *measured* inflation —",
-        "the term a real N->4N executor cluster does not pay because each",
-        "executor owns its DRAM — gives the contention-adjusted data-stage",
-        "efficiency:",
+        "### Supplementary bound: cumulative per-stage floors",
         "",
-    ] + ([
-        f"- data stages {adj['stages']}: task {adj['task_sec_lo']}s (lo) vs {adj['task_sec_hi']}s (hi) — inflation {adj['inflation']}x",
-        f"- hi wall {adj['wall_sec_hi']}s, inflation-adjusted {adj['wall_sec_hi_adjusted']}s",
-        f"- **adjusted speedup {adj['speedup_adjusted']}x / efficiency {adj['efficiency_adjusted']}**",
+        f"Per-stage minima merged across {fb['invocations']} invocation(s) / "
+        f"{fb['rounds']} total rounds of the bit-identical job (code-fingerprint-",
+        "gated, BENCH/scaling_floors.json). Host steal is additive noise, so the",
+        "cumulative floor is a consistent estimator of contention-free speed — but",
+        "it monotonically improves with every rerun, so it is a BOUND, not the",
+        "headline:",
         "",
-    ] if (adj := scaling.get("adjusted")) else []) + [
+        f"- overall efficiency {fb['efficiency']} · data-stages {fb['efficiency_compute']}"
+        + (f" · adjusted {fb_adj['efficiency_adjusted']}" if fb_adj else ""),
+        f"- lo {fb['wall_floor_lo_sec']} s ({fb['docs_per_sec_lo']} docs/s) vs "
+        f"hi {fb['wall_floor_hi_sec']} s ({fb['docs_per_sec_hi']} docs/s)",
+        "",
+        "Fixed costs and host contention are separately accounted via executor",
+        "task time (stage_task_ms_lo/hi in BENCH/bench_detail.json): at the lo",
+        "level task time ~= wall (no idle slots); at the hi level each stage",
+        "decomposes into task-time inflation (host contention) and scheduling",
+        "slack (wall - task/cores).",
+        "",
         "The engine-side structural properties that make the same plan",
         "scale on a real cluster (no O(n^2) hot keys, no driver-side data",
         "path, map-side partial aggs, broadcast of collision-only bucket",
         "sizes, cache-blocked UDF kernels) are asserted by tests — see",
-        "SCALE.md.",
-        "",
-        "One-off measured evidence (scale curve, kill -9 resume drive,",
-        "host calibration: mp.Pool kernel scaling, DRAM bandwidth saturation,",
-        "steal history) lives in BENCH/EVIDENCE.md — this file is",
+        "SCALE.md. One-off measured evidence (scale curve, kill -9 resume",
+        "drive, host calibration) lives in BENCH/EVIDENCE.md — this file is",
         "regenerated by bench.py each run.",
         "",
         "## Headline query times (sf dir: %s)" % SF_DIR,
         "",
         f"Best-of-{HEADLINE_RUNS} floors (fresh session per pass; the full",
-        "min/max spread per query is in BENCH_r*.json queries/queries_hi).",
+        "min/max spread per query is in BENCH/bench_detail.json).",
         "",
         "| query | floor sec |",
         "|---|---|",

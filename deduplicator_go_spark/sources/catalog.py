@@ -15,6 +15,28 @@ this image, so the same contract is implemented over parquet dirs +
 JSON markers behind one small interface — the pipeline code does not
 care which backend it gets.
 
+Interface → Iceberg mapping (keep new call sites inside this contract
+so an Iceberg backend is a drop-in):
+
+- ``write(mode="overwrite")``  → ``REPLACE TABLE ... AS SELECT`` /
+  overwrite snapshot commit (here: temp dir + atomic rename; marker
+  removed first, written last — same crash window as a snapshot swap).
+- ``write(mode="append")``     → fast-append snapshot commit (here:
+  parquet append; the params sidecar written by ``incremental_begin``
+  plays the role of table properties stamped on the first append).
+- commit marker (``_*_COMMIT.json``) → the snapshot id + summary; a
+  table without a current marker is a mid-write table (resume wipes or
+  frontier-fills it, never trusts it).
+- ``upstream_rows`` fingerprint in ``is_complete`` → upstream snapshot
+  id comparison (snapshot diff); row counts are the parquet stand-in
+  with the same semantics under the append-only contract.
+- ``table_rows`` → ``snapshot.summary["total-records"]`` (here:
+  parquet footers; metadata either way, never a scan job).
+- lineage rows per output file → per-data-file manifest entries plus
+  the engine's (run_id, stage, wall_ms, params_hash) annotations.
+- ``incremental_begin`` wipe-on-params-change → ``DELETE FROM`` /
+  truncate + property restamp in one transaction.
+
 Lineage rows are per output *file* (the local stand-in for a
 partition): (run_id, stage, partition, rows, bytes, wall_ms,
 params_hash, completed_at) — the north rule's per-partition metrics.
