@@ -562,6 +562,30 @@ _ANN_TRUTH_TOPK_SQL = """
 """
 
 
+def _q_media_cross_format_dups(spark, sf_dir):
+    """Cross-format image dedup: the same content stored as BMP and as
+    PNG must collide on perceptual hash (hashes are computed over
+    DECODED pixels; both codecs are lossless, so a transcode preserves
+    them exactly). The view is the image subset with no planted
+    near-dup structure (doc_id % 8 in (2, 6)) plus a distributed PNG
+    transcode of each ('p' ids, engine's own stdlib-zlib PNG codec) —
+    the truth set is exactly {(m<id>, p<id>)} at hamming 0, which the
+    oracle pins; distinct ids are independent random 64-bit patterns
+    (collision odds ~2e-15/pair), verified collision-free on this
+    data."""
+    from deduplicator_go_spark.fixtures.media import synthetic_media
+    from deduplicator_go_spark.operators import multimodal
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 8).isin(2, 6))
+    )
+    media = synthetic_media(ids)
+    png = multimodal.transcode_media(media, to_mime="image/png", id_prefix="p")
+    return multimodal.phash_dup_pairs(media.unionByName(png), max_hamming=3)
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k neighbors (seeded coarse quantizer +
     n_probe cells) over the planted-truth view — VALUE-checked
@@ -857,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": _q_ivf_recall,
         "simhash_recall": _q_simhash_recall,
         "media_phash_dups": _q_media_phash_dups,
+        "media_cross_format_dups": _q_media_cross_format_dups,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
         "work_queue": _q_work_queue,
@@ -1292,6 +1317,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE doc_id % 8 IN (4, 5)
               AND EXISTS (SELECT 1 FROM documents p WHERE p.doc_id = d.doc_id - 4)
+        """,
+        # Cross-format image dedup truth: each selected doc_id yields
+        # one BMP original ('m' id) and one lossless PNG transcode
+        # ('p' id) with identical decoded pixels → identical perceptual
+        # hash → exactly one pair per id at hamming 0; 'm' < 'p' fixes
+        # the pair orientation.
+        "media_cross_format_dups": """
+            SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
+                   'p' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+                   'image' AS kind,
+                   CAST(0 AS INT) AS hamming
+            FROM documents WHERE doc_id % 8 IN (2, 6)
         """,
         "path_popularity": """
             WITH counts AS (

@@ -6,16 +6,25 @@ a typed metadata struct — the same shape the documents table uses for
 Arrow batch amortizes Python overhead and payload bytes never pass
 through Python row objects.
 
-Codecs: two UNCOMPRESSED formats are decoded for real, in pure
-numpy/struct (no codec libraries exist in this container):
+Codecs: three formats are decoded for real, with zero third-party
+codec libraries (pure numpy/struct, plus stdlib zlib for PNG):
 
 - ``image/bmp`` — 24-bit bottom-up BMP (BITMAPINFOHEADER);
+- ``image/png`` — 8-bit gray/RGB/RGBA non-interlaced PNG (full
+  filter support: None/Sub/Up/Average/Paeth);
 - ``audio/wav`` — PCM16 mono WAV.
 
-Everything else (JPEG/PNG/MP3/...) is honestly out of scope here:
-``strict=True`` raises ``NotImplementedError`` for unsupported mimes,
-``strict=False`` falls back to a clearly-marked deterministic stub
-feature so the distributed plumbing stays exercisable end-to-end.
+Everything else (JPEG/MP3/...) is honestly out of scope here (their
+entropy coders need real codec libraries): ``strict=True`` raises
+``NotImplementedError`` for unsupported mimes, ``strict=False`` falls
+back to a clearly-marked deterministic stub feature so the
+distributed plumbing stays exercisable end-to-end.
+
+Because perceptual hashes are computed over DECODED pixels, the same
+image stored as BMP and as PNG produces an identical hash — the
+engine detects cross-format duplicates with no extra machinery
+(``transcode_media`` + the ``media_cross_format_dups`` oracle pin
+this end-to-end).
 
 On decoded content the engine computes 64-bit PERCEPTUAL hashes
 (average-hash over an 8×8 block-mean grayscale for images; an energy-
@@ -82,6 +91,133 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     bgr = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
     rgb = bgr[:, :, ::-1]
     return rgb[::-1] if flip else rgb
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor non-interlaced PNG bytes.
+
+    ``filter_type`` selects the per-row filter (0=None..4=Paeth) —
+    mainly so tests can exercise every decoder unfilter path; 0 is the
+    fastest to write and perfectly valid PNG."""
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = img.astype(np.uint8).reshape(h, w * bpp).astype(np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    out_rows = []
+    for r in range(h):
+        row = raw[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+        if filter_type == 0:
+            f = row
+        elif filter_type == 1:
+            f = row - left
+        elif filter_type == 2:
+            f = row - prev
+        elif filter_type == 3:
+            f = row - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            f = row - pred
+        else:
+            raise ValueError(f"PNG filter {filter_type}")
+        out_rows.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(out_rows), 6)
+    return (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit gray/RGB/RGBA non-interlaced PNG bytes → (h, w, 3) uint8
+    RGB (gray broadcast to 3 channels, alpha dropped). All five row
+    filters are unfiltered; Sub is a vectorized per-channel cumsum, Up
+    a vectorized add, Average/Paeth a per-pixel loop (their left+up
+    dependency is inherently sequential)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color_type, compression, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or compression != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG "
+            f"(got depth={depth} color_type={color_type} interlace={interlace})"
+        )
+    stream = zlib.decompress(b"".join(idat))
+    bpp = channels
+    row_bytes = w * bpp
+    if len(stream) < h * (1 + row_bytes):
+        raise ValueError("PNG stream truncated")
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int32)
+    for r in range(h):
+        start = r * (1 + row_bytes)
+        ft = stream[start]
+        f = np.frombuffer(stream, dtype=np.uint8, count=row_bytes, offset=start + 1).astype(np.int32)
+        if ft == 0:
+            row = f
+        elif ft == 1:  # Sub: cumulative per channel stride
+            row = np.cumsum(f.reshape(w, bpp), axis=0, dtype=np.int64).reshape(row_bytes) % 256
+        elif ft == 2:  # Up
+            row = (f + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left+up dependency
+            row = np.zeros(row_bytes, dtype=np.int32)
+            for i in range(row_bytes):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                row[i] = (f[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter byte {ft}")
+        out[r] = row.astype(np.uint8)
+        prev = row.astype(np.int32)
+    px = out.reshape(h, w, bpp)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -156,7 +292,9 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
-DECODABLE_MIMES = {"image/bmp", "audio/wav"}
+DECODABLE_MIMES = {"image/bmp", "image/png", "audio/wav"}
+
+_IMAGE_DECODERS = {"image/bmp": decode_bmp, "image/png": decode_png}
 
 
 def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
@@ -165,8 +303,8 @@ def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
     range. None for unsupported mimes or undecodable bytes (a declared
     mime is a claim, not a guarantee — web data lies)."""
     try:
-        if mime == "image/bmp":
-            img = decode_bmp(payload)
+        if mime in _IMAGE_DECODERS:
+            img = _IMAGE_DECODERS[mime](payload)
             gray = img.astype(np.float64).mean(axis=2)
             blocks = [
                 b.mean() / 255.0
@@ -187,9 +325,9 @@ def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
 def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
     """binary payload → fixed-width feature vector via mapInPandas.
 
-    Decodable mimes (uncompressed BMP/WAV) produce REAL content
-    features (block-mean grayscale / energy envelope). For any other
-    mime: ``strict=True`` raises NotImplementedError (no JPEG/PNG/MP3
+    Decodable mimes (BMP/PNG/WAV) produce REAL content features
+    (block-mean grayscale / energy envelope). For any other
+    mime: ``strict=True`` raises NotImplementedError (no JPEG/MP3
     codec libraries in this environment); ``strict=False`` substitutes
     the clearly-marked deterministic stub feature so the plumbing
     (schema, batching, column pruning) stays exercisable.
@@ -229,8 +367,8 @@ def extract_features(media: DataFrame, dim: int = 8, strict: bool = False) -> Da
 
 def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
     """→ (media_id, kind, phash long): 64-bit perceptual hash over the
-    DECODED content (average-hash for BMP images, energy-envelope hash
-    for WAV audio) via mapInPandas — payload bytes stay in Arrow
+    DECODED content (average-hash for BMP/PNG images, energy-envelope
+    hash for WAV audio) via mapInPandas — payload bytes stay in Arrow
     batches. Unsupported mimes raise under ``strict`` (default: a
     perceptual hash of undecodable bytes would be meaningless), else
     the row is emitted with phash NULL so callers can filter — and the
@@ -246,8 +384,8 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
             ):
                 ph = None
                 try:
-                    if mime == "image/bmp" and p is not None:
-                        ph = image_average_hash(decode_bmp(p))
+                    if mime in _IMAGE_DECODERS and p is not None:
+                        ph = image_average_hash(_IMAGE_DECODERS[mime](p))
                     elif mime == "audio/wav" and p is not None:
                         ph = audio_envelope_hash(decode_wav(p)[0])
                     elif strict:
@@ -267,6 +405,57 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.select("media_id", "kind", "mime", "payload").mapInPandas(
         batches, "media_id string, kind string, phash long"
     )
+
+
+def transcode_media(
+    media: DataFrame,
+    to_mime: str = "image/png",
+    id_prefix: str = "p",
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed image transcode: decode each supported image payload
+    and re-encode it as ``to_mime`` (image/png or image/bmp), emitting
+    (media_id = id_prefix + original digits, kind, payload, mime, ...)
+    rows with the SAME schema as the input so the output unions back
+    into a media table. Decoded pixels are preserved exactly (both
+    codecs are lossless), so perceptual hashes survive transcoding —
+    the basis of cross-format dedup. Non-image or undecodable rows are
+    dropped under ``strict=False`` (raise under strict).
+
+    Runs in ``mapInPandas``: payload bytes stay in Arrow batches, one
+    decode+encode per row, no driver involvement."""
+    encoders = {"image/png": encode_png, "image/bmp": encode_bmp}
+    if to_mime not in encoders:
+        raise ValueError(f"transcode target {to_mime!r}; supported: {sorted(encoders)}")
+    encode = encoders[to_mime]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("media_id", "kind", "payload", "mime",
+                                   "width", "height", "duration_ms")}
+            for _, row in pdf.iterrows():
+                p, mime = row["payload"], row["mime"]
+                try:
+                    if mime not in _IMAGE_DECODERS or p is None:
+                        raise NotImplementedError(f"cannot transcode mime {mime!r}")
+                    img = _IMAGE_DECODERS[mime](bytes(p))
+                except (ValueError, NotImplementedError, struct.error, IndexError):
+                    if strict:
+                        raise
+                    continue
+                out["media_id"].append(id_prefix + "".join(
+                    ch for ch in row["media_id"] if ch.isdigit()))
+                out["kind"].append(row["kind"])
+                out["payload"].append(encode(img))
+                out["mime"].append(to_mime)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["duration_ms"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        "media_id", "kind", "payload", "mime", "width", "height", "duration_ms"
+    ).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def phash_dup_pairs(

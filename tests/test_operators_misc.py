@@ -470,6 +470,79 @@ def test_phash_nonstrict_survives_unsupported_bmp_variant(spark):
     assert not any("bad1" in p for p in got)
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Engine PNG codec (stdlib zlib + numpy): every filter type
+    round-trips losslessly; gray and RGBA decode to (h, w, 3); 16-bit
+    and interlaced streams raise instead of mis-decoding."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 41, 3), dtype=np.uint8)
+    for ft in range(5):
+        back = multimodal.decode_png(multimodal.encode_png(img, filter_type=ft))
+        assert (back == img).all(), f"filter {ft}"
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def raw_png(px, color_type):
+        h, w = px.shape[:2]
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+        return (multimodal._PNG_SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    g = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    assert (multimodal.decode_png(raw_png(g, 0))
+            == np.repeat(g[:, :, None], 3, axis=2)).all()
+    a = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    assert (multimodal.decode_png(raw_png(a, 6)) == a[:, :, :3]).all()
+
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        bad = multimodal.encode_png(img)
+        # flip depth byte in IHDR (offset: sig 8 + len 4 + tag 4 + w 4 + h 4)
+        bad = bad[:24] + b"\x10" + bad[25:]
+        multimodal.decode_png(bad)
+
+
+def test_cross_format_phash_and_transcode(spark):
+    """The same pixels as BMP and as PNG must produce the SAME
+    perceptual hash (hashes are over decoded content; both codecs
+    lossless), and the distributed transcode_media + phash_dup_pairs
+    path must pair every original with its transcode and nothing
+    else."""
+    from deduplicator_go_spark.fixtures import media as fx
+
+    ids = spark.range(0, 48).withColumnRenamed("id", "doc_id").filter(
+        (F.col("doc_id") % 8).isin(2, 6)
+    )
+    media = fx.synthetic_media(ids)
+    png = multimodal.transcode_media(media, to_mime="image/png", id_prefix="p")
+    png_rows = png.collect()
+    assert len(png_rows) == 12 and all(r["mime"] == "image/png" for r in png_rows)
+
+    both = multimodal.perceptual_hashes(media.unionByName(png), strict=True).collect()
+    by_id = {r["media_id"]: r["phash"] for r in both}
+    for i in list(range(48)):
+        if i % 8 in (2, 6):
+            assert by_id[f"m{i:08d}"] == by_id["p" + f"{i:08d}"]
+
+    pairs = multimodal.phash_dup_pairs(media.unionByName(png), max_hamming=3).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    want = {(f"m{i:08d}", "p" + f"{i:08d}") for i in range(48) if i % 8 in (2, 6)}
+    assert got == want
+    assert all(r["hamming"] == 0 for r in pairs)
+
+    # bmp -> png -> bmp double transcode is pixel-identical too
+    back = multimodal.transcode_media(png, to_mime="image/bmp", id_prefix="q")
+    h_back = {r["media_id"]: r["phash"]
+              for r in multimodal.perceptual_hashes(back, strict=True).collect()}
+    for mid, ph in h_back.items():
+        assert ph == by_id["m" + mid[1:]]
+
+
 def test_media_stats_and_exact_dups(media):
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 2, "audio": 1, "video": 1}
