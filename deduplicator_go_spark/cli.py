@@ -507,6 +507,30 @@ def cmd_media_dupes(args) -> dict:
     }
 
 
+def cmd_media_transcode(args) -> dict:
+    """Lossless distributed image transcode (BMP ↔ PNG with the
+    engine's zero-dependency codecs): decode + re-encode in
+    mapInPandas, write the transcoded table to --output. Perceptual
+    hashes are computed over decoded pixels, so transcoded rows keep
+    deduping against their originals (media_cross_format_dups)."""
+    spark = _spark(args)
+    from .operators.multimodal import transcode_media
+
+    media, sampled = _maybe_sample(spark.read.parquet(args.input))
+    out = transcode_media(
+        media, to_mime=args.to_mime, id_prefix=args.id_prefix, strict=args.strict
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {
+        "verb": "media-transcode",
+        "to_mime": args.to_mime,
+        "rows_out": n,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deduplicator_go_spark")
     p.add_argument("--catalog", default="/tmp/dedup-catalog")
@@ -595,6 +619,16 @@ def build_parser() -> argparse.ArgumentParser:
     # fail fast on undecodable payloads instead of hashing them to NULL
     s.add_argument("--strict", action="store_true")
     s.set_defaults(fn=cmd_media_dupes)
+
+    s = sub.add_parser("media-transcode")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--to-mime", default="image/png",
+                   choices=["image/png", "image/bmp"])
+    s.add_argument("--id-prefix", default="p")
+    # fail fast on undecodable/non-image payloads instead of dropping them
+    s.add_argument("--strict", action="store_true")
+    s.set_defaults(fn=cmd_media_transcode)
 
     s = sub.add_parser("serve")
     s.add_argument("--table", default="catalog")

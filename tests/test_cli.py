@@ -131,6 +131,31 @@ def test_cli_sampling_profile(capsys, docs_parquet, tmp_path, monkeypatch):
     assert out["groups"] < 18
 
 
+def test_cli_media_transcode(capsys, spark, tmp_path):
+    """media-transcode verb: BMP → PNG losslessly in mapInPandas; the
+    transcoded table still dedups against the originals via perceptual
+    hash (decoded pixels unchanged)."""
+    from deduplicator_go_spark.fixtures import media as fx
+    from deduplicator_go_spark.operators import multimodal
+
+    ids = spark.range(0, 16).withColumnRenamed("id", "doc_id").filter(
+        "doc_id % 2 = 0"
+    )
+    p = str(tmp_path / "media.parquet")
+    fx.synthetic_media(ids, "doc_id").write.parquet(p)
+    outp = str(tmp_path / "png.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "media-transcode", "--input", p, "--output", outp])
+    assert out["rows_out"] == 8 and out["to_mime"] == "image/png"
+    png = spark.read.parquet(outp)
+    assert {r["mime"] for r in png.select("mime").distinct().collect()} == {"image/png"}
+    both = spark.read.parquet(p).unionByName(png)
+    hashes = {r["media_id"]: r["phash"]
+              for r in multimodal.perceptual_hashes(both, strict=True).collect()}
+    for i in range(0, 16, 2):
+        assert hashes[f"m{i:08d}"] == hashes["p" + f"{i:08d}"]
+
+
 def test_cli_media_dupes(capsys, spark, tmp_path):
     """media-dupes verb: decode + perceptual-hash + banded Hamming over
     a media parquet table — finds exactly the planted noisy re-renders
