@@ -806,8 +806,16 @@ def _q_embedding_topk_ann(spark, sf_dir):
     the answer set is provably each id's three siblings at cos 1.0 (see
     _ann_truth_view); approximation *quality* on jittered neighbors is
     separately enforced by the lsh_recall gate."""
+    import pyarrow.dataset as pads
+
     view = _ann_truth_view(spark, sf_dir)
-    return similarity.lsh_topk(view, k=3, n_bits=None, n_bands=10, cell_cap=256)
+    # corpus size from parquet footers (the catalog-commit-metadata
+    # pattern): the adaptive band width needs n_rows, and a count() job
+    # over the source would re-scan it once per invocation
+    n_rows = 4 * pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
+    return similarity.lsh_topk(
+        view, k=3, n_bits=None, n_bands=10, cell_cap=256, n_rows=n_rows
+    )
 
 
 def _q_lsh_recall(spark, sf_dir):

@@ -244,6 +244,21 @@ def test_band_values_match_legacy_extraction(spark):
         hyperplane_signatures(emb, n_bits=70)
 
 
+def test_lsh_topk_broadcast_optout_and_n_rows(emb):
+    """broadcast_sizes=False (shuffle-degraded collision-size join for
+    corpora whose collision table outgrows the driver) and an explicit
+    n_rows (catalog metadata instead of a count() scan) must produce
+    results identical to the defaults."""
+    base = similarity.lsh_topk(emb, k=1, n_bits=16, n_bands=8).collect()
+    no_bc = similarity.lsh_topk(
+        emb, k=1, n_bits=16, n_bands=8, broadcast_sizes=False
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, no_bc))
+    meta = similarity.lsh_topk(emb, k=1, n_bits=None, n_bands=8, n_rows=20).collect()
+    auto = similarity.lsh_topk(emb, k=1, n_bits=None, n_bands=8).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, auto))
+
+
 def test_embedding_lsh_hot_bucket_bounded(spark):
     """A deliberately clustered embedding corpus (every vector in one
     hyperplane bucket): embedding_dup_pairs must go through the salted
