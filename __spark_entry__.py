@@ -562,6 +562,30 @@ _ANN_TRUTH_TOPK_SQL = """
 """
 
 
+def _q_latest_versions(spark, sf_dir):
+    """Semver compare (SURVEY §2 C9, /root/reference/mq/rabbitmq.go:
+    143-187): hashicorp-ordering version comparison as a native
+    sortable key + newest-version-per-group window rank. The version
+    table is derived deterministically from documents (per-source
+    synthetic versions incl. pre-release tags); the oracle mirrors the
+    key construction in ANSI SQL."""
+    from deduplicator_go_spark.functions import versions as V
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = docs.select(
+        F.col("source").alias("name"),
+        F.concat(
+            (F.col("doc_id") % 4).cast("string"), F.lit("."),
+            (F.col("doc_id") % 10).cast("string"), F.lit("."),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("-rc"), (F.col("doc_id") % 3 + 1).cast("string"))
+                   ).otherwise(F.lit("")),
+        ).alias("version"),
+    )
+    return V.latest_versions(v, ["name"])
+
+
 def _q_media_cross_format_dups(spark, sf_dir):
     """Cross-format image dedup: the same content stored as BMP and as
     PNG must collide on perceptual hash (hashes are computed over
@@ -890,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": _q_simhash_recall,
         "media_phash_dups": _q_media_phash_dups,
         "media_cross_format_dups": _q_media_cross_format_dups,
+        "latest_versions": _q_latest_versions,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
         "work_queue": _q_work_queue,
@@ -1337,6 +1362,44 @@ def oracle_sql() -> dict[str, str]:
                    'image' AS kind,
                    CAST(0 AS INT) AS hamming
             FROM documents WHERE doc_id % 8 IN (2, 6)
+        """,
+        # Semver compare: the sortable key mirrors functions/versions.py
+        # exactly — zero-padded numeric segments, '|' (0x7C) for
+        # releases vs '-pre' (0x2D) so releases outrank pre-releases of
+        # the same core.
+        "latest_versions": r"""
+            WITH v AS (
+              SELECT source AS name,
+                     CAST(doc_id % 4 AS VARCHAR) || '.' ||
+                     CAST(doc_id % 10 AS VARCHAR) || '.' ||
+                     CAST(doc_id % 7 AS VARCHAR) ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN '-rc' || CAST(doc_id % 3 + 1 AS VARCHAR)
+                          ELSE '' END AS version
+              FROM documents
+            ),
+            d AS (SELECT DISTINCT name, version FROM v),
+            k AS (
+              SELECT name, version,
+                     lpad(coalesce(list_extract(string_split(regexp_extract(version, '^([0-9]+(?:\.[0-9]+)*)', 1), '.'), 1), '0'), 10, '0') || '.' ||
+                     lpad(coalesce(list_extract(string_split(regexp_extract(version, '^([0-9]+(?:\.[0-9]+)*)', 1), '.'), 2), '0'), 10, '0') || '.' ||
+                     lpad(coalesce(list_extract(string_split(regexp_extract(version, '^([0-9]+(?:\.[0-9]+)*)', 1), '.'), 3), '0'), 10, '0') || '.' ||
+                     lpad(coalesce(list_extract(string_split(regexp_extract(version, '^([0-9]+(?:\.[0-9]+)*)', 1), '.'), 4), '0'), 10, '0') ||
+                     CASE WHEN regexp_extract(version, '-(.+)$', 1) = ''
+                          THEN '|'
+                          ELSE '-' || regexp_extract(version, '-(.+)$', 1) END AS vkey
+              FROM d
+            ),
+            r AS (
+              SELECT name, version,
+                     row_number() OVER (PARTITION BY name
+                                        ORDER BY vkey DESC, version DESC) AS rn
+              FROM k
+            ),
+            c AS (SELECT name, CAST(count(DISTINCT version) AS BIGINT) AS n_versions
+                  FROM d GROUP BY 1)
+            SELECT r.name, r.version AS latest_version, c.n_versions
+            FROM r JOIN c USING (name) WHERE rn = 1
         """,
         "path_popularity": """
             WITH counts AS (
