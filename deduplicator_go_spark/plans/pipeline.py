@@ -315,13 +315,24 @@ class DedupPipeline:
                 "candidates_done"
             )
             if not incremental:
-                return candidate_pairs(
+                pairs = candidate_pairs(
                     bands,
                     c.band_pair_cap,
                     c.band_salt,
                     materialize=False,  # parquet-backed input IS the pin
                     collision_broadcast=c.lsh_collision_broadcast,
                 )
+                # a kill in the window between the pair write completing
+                # and the commit-marker/bookmark writes leaves a full
+                # table with no bookmark; without this anti-join the
+                # resume would append the whole set again (the same
+                # partial-output defence every per-doc stage has)
+                if self.catalog.exists("candidates"):
+                    pairs = pairs.join(
+                        self._read("candidates").select("url_a", "url_b"),
+                        ["url_a", "url_b"], "left_anti",
+                    )
+                return pairs
             return self._bucket_diff_pairs(bands, "candidates_done", "candidates")
 
         cand_stage = self._incremental_stage(
@@ -397,6 +408,13 @@ class DedupPipeline:
                         materialize=False,  # parquet-backed input IS the pin
                         collision_broadcast=c.lsh_collision_broadcast,
                     )
+                    # same write-committed/bookmark-missing kill-window
+                    # defence as build_candidates
+                    if self.catalog.exists("substr_pairs"):
+                        cands = cands.join(
+                            self._read("substr_pairs").select("url_a", "url_b"),
+                            ["url_a", "url_b"], "left_anti",
+                        )
                 else:
                     cands = self._bucket_diff_pairs(anchors, "substr_done", "substr_pairs")
                 cands = prune_substr_candidates(

@@ -258,6 +258,43 @@ def test_incremental_tick_substr_appends_frontier_only(spark, corpus, docs, tmp_
     assert all(s.skipped for s in r3.stages), [s.name for s in r3.stages if not s.skipped]
 
 
+def test_resume_after_kill_between_pair_write_and_bookmark(spark, docs, tmp_path_factory):
+    """Kill window: the candidates/substr parquet write completed but
+    the commit marker and done-bookmark writes did not. On resume the
+    non-incremental branch sees a table with no bookmark — without its
+    anti-join defence it would append the entire pair set AGAIN,
+    silently doubling the table (the per-doc stages always had this
+    defence; the pair stages' full-build branch did not)."""
+    import os
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("killwin"))
+    cfg = DedupConfig()
+    DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=True).run(docs)
+    cat = CheckpointCatalog(root)
+    n_cand = cat.read(spark, "candidates").count()
+    n_sub = cat.read(spark, "substr_pairs").count()
+    golden = sorted(map(tuple, cat.read(spark, "clusters").collect()))
+
+    # simulate the kill: markers + bookmarks gone, tables fully written
+    for stage in ("candidates", "substr_pairs"):
+        os.remove(os.path.join(root, f"_{stage}_COMMIT.json"))
+    for bookmark in ("candidates_done", "substr_done"):
+        shutil.rmtree(os.path.join(root, bookmark))
+        os.remove(os.path.join(root, f"_{bookmark}_COMMIT.json"))
+
+    r2 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=True).run(docs)
+    by2 = {s.name: s for s in r2.stages}
+    assert not by2["candidates"].skipped and not by2["substr_pairs"].skipped
+    assert cat.read(spark, "candidates").count() == n_cand  # no doubling
+    assert cat.read(spark, "substr_pairs").count() == n_sub
+    assert (
+        cat.read(spark, "candidates").select("url_a", "url_b").distinct().count()
+        == n_cand
+    )
+    assert sorted(map(tuple, cat.read(spark, "clusters").collect())) == golden
+
+
 def test_input_fingerprint_catches_same_count_url_swap(spark, docs, tmp_path_factory):
     """Round-3 advisor finding: staleness was keyed on row counts only,
     so an input whose url set changed under the SAME row count matched
