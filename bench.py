@@ -311,8 +311,21 @@ def main() -> None:
             else:
                 sc_parquet = docs_parquet
 
-            # interleave levels (hi,lo,hi,lo,...) so slow host-steal drift
-            # hits both levels equally; keep per-level stage minima for
+            # One UNTIMED warm-up run before the measured rounds: the
+            # corpus parquet is freshly generated (cold page cache) and
+            # the shared local JVM JIT is cold, so the first measured
+            # job of an invocation is systematically inflated — every
+            # recorded invocation shows monotonically-improving
+            # per-round efficiency (e.g. 0.446 -> 0.763 within one
+            # run). Measured rounds then report steady state, which is
+            # what an N vs 4N cluster comparison is about.
+            s = _fresh_spark(hi_cores)
+            run_pipeline(s, sc_parquet, N_SCALING, None)
+            s.stop()
+
+            # interleave levels, alternating order per round
+            # ((hi,lo),(lo,hi),...) so residual warming/steal drift hits
+            # both levels symmetrically; keep per-level stage minima for
             # both wall and executor task time (UI REST)
             hi_runs: dict[str, int] = {}
             lo_runs: dict[str, int] = {}
@@ -325,10 +338,11 @@ def main() -> None:
                     break  # keep floors from completed rounds
                 rounds_done += 1
                 rw: dict[str, float] = {}
-                for level, cores, mins, tmins in (
+                levels = [
                     ("hi", hi_cores, hi_runs, hi_task),
                     ("lo", lo_cores, lo_runs, lo_task),
-                ):
+                ]
+                for level, cores, mins, tmins in (levels if i % 2 == 0 else levels[::-1]):
                     s = _fresh_spark(cores, ui=True)
                     r = run_pipeline(s, sc_parquet, N_SCALING, None, task_time=True)
                     s.stop()

@@ -433,8 +433,9 @@ def transcode_media(
         for pdf in it:
             out = {c: [] for c in ("media_id", "kind", "payload", "mime",
                                    "width", "height", "duration_ms")}
-            for _, row in pdf.iterrows():
-                p, mime = row["payload"], row["mime"]
+            for mid, kind, p, mime in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["mime"]
+            ):
                 try:
                     if mime not in _IMAGE_DECODERS or p is None:
                         raise NotImplementedError(f"cannot transcode mime {mime!r}")
@@ -444,8 +445,8 @@ def transcode_media(
                         raise
                     continue
                 out["media_id"].append(id_prefix + "".join(
-                    ch for ch in row["media_id"] if ch.isdigit()))
-                out["kind"].append(row["kind"])
+                    ch for ch in mid if ch.isdigit()))
+                out["kind"].append(kind)
                 out["payload"].append(encode(img))
                 out["mime"].append(to_mime)
                 out["width"].append(img.shape[1])
