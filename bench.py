@@ -547,7 +547,10 @@ def _write_baseline_md(queries, dedup, scaling) -> None:
         "driver's instruction the same job ran at two local parallelism levels",
         "on the same input — local[%d] vs local[%d], %d interleaved" % (
             scaling["cores_lo"], scaling["cores_hi"], tr.get("rounds", SCALING_RUNS)),
-        "fresh-session rounds per level in THIS invocation. Host calibration",
+        "fresh-session rounds per level in THIS invocation (one untimed",
+        "warm-up run first — page cache + shared-JVM JIT — with per-round",
+        "level order alternating, so rounds measure steady state",
+        "symmetrically). Host calibration",
         "(BENCH/EVIDENCE.md) shows this overcommitted VM delivers clean linear",
         "scaling only inside ~8 concurrent threads (mp.Pool on the engine's own",
         "minhash kernel: 2→8 procs = 1.02 efficiency) while aggregate DRAM",
