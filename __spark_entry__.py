@@ -592,8 +592,9 @@ def _q_media_cross_format_dups(spark, sf_dir):
     DECODED pixels; both codecs are lossless, so a transcode preserves
     them exactly). The view is the image subset with no planted
     near-dup structure (doc_id % 8 in (2, 6)) plus a distributed PNG
-    transcode of each ('p' ids, engine's own stdlib-zlib PNG codec) —
-    the truth set is exactly {(m<id>, p<id>)} at hamming 0, which the
+    transcode of each ('pm' ids = prefix + full original id, engine's
+    own stdlib-zlib PNG codec) —
+    the truth set is exactly {(m<id>, pm<id>)} at hamming 0, which the
     oracle pins; distinct ids are independent random 64-bit patterns
     (collision odds ~2e-15/pair), verified collision-free on this
     data."""
@@ -1353,12 +1354,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Cross-format image dedup truth: each selected doc_id yields
         # one BMP original ('m' id) and one lossless PNG transcode
-        # ('p' id) with identical decoded pixels → identical perceptual
-        # hash → exactly one pair per id at hamming 0; 'm' < 'p' fixes
-        # the pair orientation.
+        # ('pm' id = prefix + FULL original id, collision-proof for
+        # arbitrary catalogs) with identical decoded pixels → identical
+        # perceptual hash → exactly one pair per id at hamming 0;
+        # 'm' < 'p' fixes the pair orientation.
         "media_cross_format_dups": """
             SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
-                   'p' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+                   'pm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
                    'image' AS kind,
                    CAST(0 AS INT) AS hamming
             FROM documents WHERE doc_id % 8 IN (2, 6)
@@ -1387,7 +1389,12 @@ def oracle_sql() -> dict[str, str]:
                      lpad(coalesce(list_extract(string_split(regexp_extract(version, '^([0-9]+(?:\.[0-9]+)*)', 1), '.'), 4), '0'), 10, '0') ||
                      CASE WHEN regexp_extract(version, '-(.+)$', 1) = ''
                           THEN '|'
-                          ELSE '-' || regexp_extract(version, '-(.+)$', 1) END AS vkey
+                          ELSE '-' || array_to_string(
+                                 list_transform(
+                                   string_split(regexp_extract(version, '-(.+)$', 1), '.'),
+                                   s -> CASE WHEN regexp_matches(s, '^[0-9]+$')
+                                             THEN lpad(s, 10, '0') ELSE s END),
+                                 '.') END AS vkey
               FROM d
             ),
             r AS (

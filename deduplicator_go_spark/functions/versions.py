@@ -16,10 +16,17 @@ Key construction (hashicorp ordering semantics):
 - a release (no pre-release suffix) sorts AFTER any pre-release of
   the same core: the key appends '|' (0x7C) for releases vs
   '-<pre>' (0x2D...) for pre-releases, and 0x2D < 0x7C;
-- pre-releases of the same core compare lexicographically
-  ('alpha' < 'beta' < 'rc1'; the full dotted-identifier numeric
-  rules of semver §11 are out of scope, as they are for the
-  reference's usage which only ever compares release versions).
+- pre-release DOTTED IDENTIFIERS follow semver §11 (hashicorp
+  ordering): purely-numeric identifiers are zero-padded to 10
+  digits inside the key ('rc.9' < 'rc.10', not lexicographic), which
+  also makes numerics sort before alphanumerics ('0'..'9' < 'A') and
+  keeps 'alpha' < 'alpha.1' (prefix sorts first) — the full §11
+  precedence, all with native expressions (F.transform over the
+  split identifiers, no UDF).
+
+Scope cut (disclosed): numeric segments — core or pre-release — wider
+than 10 digits truncate in the key; no version scheme in the wild
+carries >10^10 in a segment.
 """
 
 from __future__ import annotations
@@ -45,7 +52,17 @@ def version_sort_key(col: Column | str) -> Column:
     padded = [
         F.lpad(F.coalesce(F.get(segs, i), F.lit("0")), 10, "0") for i in range(4)
     ]
-    tail = F.when(pre == "", F.lit("|")).otherwise(F.concat(F.lit("-"), pre))
+    # semver §11: numeric pre-release identifiers compare numerically
+    # ('rc.9' < 'rc.10') — zero-pad each purely-numeric dotted
+    # identifier so string order matches numeric order
+    pre_norm = F.array_join(
+        F.transform(
+            F.split(pre, r"\."),
+            lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lpad(s, 10, "0")).otherwise(s),
+        ),
+        ".",
+    )
+    tail = F.when(pre == "", F.lit("|")).otherwise(F.concat(F.lit("-"), pre_norm))
     return F.concat(F.concat_ws(".", *padded), tail)
 
 

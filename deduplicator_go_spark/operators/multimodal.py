@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,6 +53,21 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = (
     "media_id string, kind string, n_bytes long, payload_sha string, "
     "feature array<float>"
+)
+
+# Every exception an undecodable payload can raise out of the codecs:
+# malformed structure (ValueError/struct.error/IndexError), unsupported
+# variant (NotImplementedError), corrupt/truncated DEFLATE stream in a
+# PNG IDAT (zlib.error), and a non-bytes payload cell (TypeError).
+# The non-strict contract — one bad row becomes NULL/dropped, never a
+# corpus-job crash — must cover ALL of these.
+_DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    struct.error,
+    IndexError,
+    zlib.error,
+    TypeError,
 )
 
 
@@ -317,7 +333,7 @@ def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
             env = [np.abs(w.astype(np.float64)).mean() / 32768.0 if len(w) else 0.0
                    for w in np.array_split(samples, max(dim, 1))]
             return [float(x) for x in env]
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except _DECODE_ERRORS:
         return None
     return None
 
@@ -393,7 +409,7 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
                             f"decoding mime {mime!r} requires codec libraries "
                             "not present in this image"
                         )
-                except (ValueError, NotImplementedError, struct.error, IndexError):
+                except _DECODE_ERRORS:
                     if strict:
                         raise
                     ph = None
@@ -415,7 +431,7 @@ def transcode_media(
 ) -> DataFrame:
     """Distributed image transcode: decode each supported image payload
     and re-encode it as ``to_mime`` (image/png or image/bmp), emitting
-    (media_id = id_prefix + original digits, kind, payload, mime, ...)
+    (media_id = id_prefix + original media_id, kind, payload, mime, ...)
     rows with the SAME schema as the input so the output unions back
     into a media table. Decoded pixels are preserved exactly (both
     codecs are lossless), so perceptual hashes survive transcoding —
@@ -440,12 +456,14 @@ def transcode_media(
                     if mime not in _IMAGE_DECODERS or p is None:
                         raise NotImplementedError(f"cannot transcode mime {mime!r}")
                     img = _IMAGE_DECODERS[mime](bytes(p))
-                except (ValueError, NotImplementedError, struct.error, IndexError):
+                except _DECODE_ERRORS:
                     if strict:
                         raise
                     continue
-                out["media_id"].append(id_prefix + "".join(
-                    ch for ch in mid if ch.isdigit()))
+                # prefix the FULL original id (never a lossy digits-only
+                # strip: ids differing only in non-digit chars — 'a1' vs
+                # 'b1' — would silently collide in the output catalog)
+                out["media_id"].append(id_prefix + mid)
                 out["kind"].append(kind)
                 out["payload"].append(encode(img))
                 out["mime"].append(to_mime)

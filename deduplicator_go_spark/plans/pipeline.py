@@ -218,14 +218,22 @@ class DedupPipeline:
         # snapshot id, no scan). Count alone would match an input whose
         # url set changed under the same row count (replaced docs) and
         # silently skip every stage, so an order-independent url-hash
-        # XOR rides along — a url-column-only scan, column-pruned, no
-        # text bytes read (bit_xor, not sum: overflow-free under ANSI
-        # mode at any corpus size). In-place text edits under an
-        # unchanged url set remain outside the append-only contract
-        # (module docstring). Everything downstream keys off catalog
-        # table row counts from commit markers — metadata only.
+        # SUM rides along — a url-column-only scan, column-pruned, no
+        # text bytes read. A bit_xor here (round 4) was blind to
+        # even-multiplicity swaps ({X,X} → {Y,Y} preserves count AND
+        # xor — round-4 advisor finding); a true multiset hash needs a
+        # multiplicity-sensitive commutative fold, so we sum
+        # xxhash64(url) as decimal(38,0): 38 digits ≈ 2^126 holds
+        # 10^12 rows × 2^63 ≈ 2^103 with headroom, stays ANSI-safe,
+        # and partial-aggregates map-side (no extra shuffle — unlike a
+        # distinct-XOR which would add an Expand + shuffle). In-place
+        # text edits under an unchanged url set remain outside the
+        # append-only contract (module docstring). Everything
+        # downstream keys off catalog table row counts from commit
+        # markers — metadata only.
         fp_row = docs.agg(
-            F.count("*").alias("n"), F.bit_xor(F.xxhash64("url")).alias("s")
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("s"),
         ).first()
         input_rows = int(fp_row["n"])
         input_urlsig = int(fp_row["s"] or 0)

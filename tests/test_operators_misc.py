@@ -465,16 +465,36 @@ def test_phash_nonstrict_survives_unsupported_bmp_variant(spark):
     bad = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + struct.pack(
         "<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, 16, 2835, 2835, 0, 0
     ) + b"\x00" * 16
-    bad_row = spark.createDataFrame(
-        [("bad1", "image", "image/bmp", bytearray(bad))],
+    # well-formed PNG wrapper around a CORRUPT deflate stream: zlib
+    # raises zlib.error from decompress, which the round-4 advisor
+    # found the non-strict except tuples missed — one malformed IDAT
+    # crashed the whole corpus job despite the NULL-on-undecodable
+    # contract
+    good_png = multimodal.encode_png(
+        (np.arange(48, dtype=np.uint8)).reshape(4, 4, 3)
+    )
+    pos = good_png.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack_from(">I", good_png, pos)
+    body_off = pos + 8
+    corrupt_idat = (
+        good_png[:body_off]
+        + bytes(b ^ 0xFF for b in good_png[body_off : body_off + idat_len])
+        + good_png[body_off + idat_len :]
+    )
+    bad_rows = spark.createDataFrame(
+        [
+            ("bad1", "image", "image/bmp", bytearray(bad)),
+            ("bad2", "image", "image/png", bytearray(corrupt_idat)),
+        ],
         "media_id string, kind string, mime string, payload binary",
     )
-    view = corpus.select("media_id", "kind", "mime", "payload").unionByName(bad_row)
+    view = corpus.select("media_id", "kind", "mime", "payload").unionByName(bad_rows)
 
     hashes = {r["media_id"]: r["phash"]
               for r in multimodal.perceptual_hashes(view, strict=False).collect()}
     assert hashes["bad1"] is None
-    assert sum(v is not None for v in hashes.values()) == len(hashes) - 1
+    assert hashes["bad2"] is None
+    assert sum(v is not None for v in hashes.values()) == len(hashes) - 2
     # (spark wraps the worker-side NotImplementedError in PythonException)
     with pytest.raises(Exception, match="24-bit"):
         multimodal.perceptual_hashes(view, strict=True).collect()
@@ -482,7 +502,7 @@ def test_phash_nonstrict_survives_unsupported_bmp_variant(spark):
     pairs = multimodal.phash_dup_pairs(view, max_hamming=3).collect()
     got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
     assert got == fx.truth_pairs(list(range(8)))
-    assert not any("bad1" in p for p in got)
+    assert not any("bad1" in p or "bad2" in p for p in got)
 
 
 def test_png_codec_roundtrip_all_filters():
@@ -542,20 +562,23 @@ def test_cross_format_phash_and_transcode(spark):
     by_id = {r["media_id"]: r["phash"] for r in both}
     for i in list(range(48)):
         if i % 8 in (2, 6):
-            assert by_id[f"m{i:08d}"] == by_id["p" + f"{i:08d}"]
+            assert by_id[f"m{i:08d}"] == by_id["pm" + f"{i:08d}"]
 
     pairs = multimodal.phash_dup_pairs(media.unionByName(png), max_hamming=3).collect()
     got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
-    want = {(f"m{i:08d}", "p" + f"{i:08d}") for i in range(48) if i % 8 in (2, 6)}
+    want = {(f"m{i:08d}", "pm" + f"{i:08d}") for i in range(48) if i % 8 in (2, 6)}
     assert got == want
     assert all(r["hamming"] == 0 for r in pairs)
 
-    # bmp -> png -> bmp double transcode is pixel-identical too
+    # bmp -> png -> bmp double transcode is pixel-identical too;
+    # transcoded ids carry the FULL original id ("q" + "pm" + digits) —
+    # digits-only stripping would collide ids differing in letters
     back = multimodal.transcode_media(png, to_mime="image/bmp", id_prefix="q")
     h_back = {r["media_id"]: r["phash"]
               for r in multimodal.perceptual_hashes(back, strict=True).collect()}
+    assert h_back and all(mid.startswith("qpm") for mid in h_back)
     for mid, ph in h_back.items():
-        assert ph == by_id["m" + mid[1:]]
+        assert ph == by_id["m" + mid[len("qpm"):]]
 
 
 def test_media_stats_and_exact_dups(media):

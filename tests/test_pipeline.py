@@ -313,6 +313,33 @@ def test_input_fingerprint_catches_same_count_url_swap(spark, docs, tmp_path_fac
     assert not by2["valid_docs"].skipped  # count matched, url sig did not
 
 
+def test_input_fingerprint_catches_even_multiplicity_swap(
+    spark, docs, tmp_path_factory
+):
+    """Round-4 advisor finding: a bit_xor url signature is blind to
+    even-multiplicity changes — replacing a duplicated pair {X,X} with
+    {Y,Y} preserves both count and xor, so every stage silently
+    skipped. The decimal-sum multiset hash must catch it."""
+    root = str(tmp_path_factory.mktemp("fp2"))
+    cfg = DedupConfig()
+    one = docs.limit(1).select("url").first()["url"]
+    doubled = docs.unionByName(docs.filter(F.col("url") == one))
+    DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False).run(doubled)
+
+    # replace the duplicated pair {X,X} with {Y,Y}: same count, same xor
+    swapped = doubled.withColumn(
+        "url",
+        F.when(F.col("url") == one, F.concat(F.lit("moved-"), F.col("url")))
+        .otherwise(F.col("url")),
+    )
+    assert swapped.count() == doubled.count()
+    r2 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False).run(
+        swapped
+    )
+    by2 = {s.name: s for s in r2.stages}
+    assert not by2["valid_docs"].skipped  # xor would have matched; sum must not
+
+
 def test_partial_minhash_append_resumes_incrementally(spark, docs, tmp_path_factory):
     """Kill mid-minhash: half the urls already appended → resume appends
     only the missing half (frontier anti-join) and totals match."""

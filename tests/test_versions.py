@@ -18,6 +18,10 @@ def test_version_ordering_matches_hashicorp_semantics(spark):
         ("0.9", "1.0"),
         ("1.2", "1.2.1"),         # 1.2 == 1.2.0 < 1.2.1
         ("1.2.3", "1.2.3.1"),     # 4-segment builds
+        # semver §11 dotted pre-release identifiers (round-4 advisor):
+        ("1.0.0-rc.9", "1.0.0-rc.10"),   # numeric identifiers numeric
+        ("1.0.0-alpha", "1.0.0-alpha.1"),  # fewer fields sorts first
+        ("1.0.0-1", "1.0.0-alpha"),      # numeric < alphanumeric
     ]
     df = spark.createDataFrame(cases, "older string, newer string")
     out = df.select(
