@@ -43,6 +43,14 @@ class DedupConfig:
     verify_threshold: float = 0.80   # exact char-shingle Jaccard cut
     cc_max_iters: int = 20
 
+    # --- clustering storage ---
+    # clusters-table copy-on-write granularity: rows partition by
+    # pmod(xxhash64(url), cluster_buckets); a tick rewrites only
+    # buckets holding a member of an affected component. More buckets
+    # = finer rewrites but more small files; 64 keeps single-bucket
+    # files >= ~100 MB at 10^9 docs/label-row scale.
+    cluster_buckets: int = 64
+
     # --- suffix/substring pass ---
     substr_min_len: int = 512        # long-shared-substring threshold
     substr_anchor_k: int = 64        # rolling-hash anchor gram size

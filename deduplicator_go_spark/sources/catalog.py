@@ -36,6 +36,21 @@ so an Iceberg backend is a drop-in):
   the engine's (run_id, stage, wall_ms, params_hash) annotations.
 - ``incremental_begin`` wipe-on-params-change → ``DELETE FROM`` /
   truncate + property restamp in one transaction.
+- ``current_files`` / ``appended_since`` → the snapshot file manifest
+  and Iceberg's incremental snapshot read (``incremental-from-
+  snapshot-id``): a consumer records the producer's file list in a
+  bookmark at commit time and later reads ONLY files appended since —
+  a frontier-proportional scan, never a full-table distinct.
+- ``write(mode="cow", partition_by=[...])`` → Iceberg copy-on-write
+  ``MERGE INTO`` / ``INSERT OVERWRITE`` with dynamic partition
+  overwrite: the DataFrame carries the full new content of the
+  partitions it touches; untouched partitions' immutable data files
+  are carried into the new snapshot unrewritten (here: hardlinked
+  into the swap dir — same inode, no data copy). Lineage rows are
+  emitted only for the NEW files (manifest entries), so per-tick
+  lineage is proportional to the touched partitions.
+- ``write_bookmark`` / ``read_bookmark`` → consumer-side snapshot ids
+  stored as table properties (here: an atomic JSON sidecar).
 
 Lineage rows are per output *file* (the local stand-in for a
 partition): (run_id, stage, partition, rows, bytes, wall_ms,
@@ -140,9 +155,80 @@ class CheckpointCatalog:
         if os.path.exists(path):
             shutil.rmtree(path)
         for side in (self._marker(name), self._params_sidecar(name),
-                     self._frags_sidecar(name)):
+                     self._frags_sidecar(name), self._bookmark(name)):
             if os.path.exists(side):
                 os.remove(side)
+
+    # -- snapshot file manifest + incremental reads ------------------------
+    def current_files(self, name: str) -> list[str]:
+        """The table's data-file basenames — the snapshot manifest.
+        Metadata only: served from the frags sidecar written at commit
+        time; falls back to a directory listing for a table written
+        outside ``write`` (e.g. a raw append from a killed run)."""
+        side = self._frags_sidecar(name)
+        if os.path.exists(side):
+            with open(side) as f:
+                return json.load(f)
+        if not self.exists(name):
+            return []
+        ds = pads.dataset(self.table_path(name), format="parquet")
+        return sorted(
+            os.path.relpath(f.path, self.table_path(name)) for f in ds.get_fragments()
+        )
+
+    def read_files(self, spark: SparkSession, name: str,
+                   files: list[str]) -> DataFrame:
+        """Read exactly these data files of ``name`` (relative names as
+        returned by ``current_files``). An empty list yields an empty
+        DataFrame with the table's schema."""
+        root = self.table_path(name)
+        if not files:
+            return self.read(spark, name).limit(0)
+        # basePath keeps hive partition columns recoverable when the
+        # selected files live under partition dirs (cow tables)
+        return spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, b) for b in sorted(files)]
+        )
+
+    def appended_since(self, spark: SparkSession, name: str,
+                       seen_files: list[str]) -> DataFrame:
+        """Iceberg incremental snapshot read, parquet-dir stand-in:
+        the rows of ``name`` appended since a consumer recorded
+        ``seen_files`` (its bookmark of the producer's manifest). Under
+        the append-only contract files are immutable, so new-files ≡
+        new-rows; the scan touches ONLY the appended files — the
+        frontier — never the standing table."""
+        seen = set(seen_files)
+        new = [b for b in self.current_files(name) if b not in seen]
+        return self.read_files(spark, name, new)
+
+    # -- consumer bookmarks ------------------------------------------------
+    # A consumer stage records the manifest of each producer it has fully
+    # processed (plus its params hash) — the snapshot-id bookmark of an
+    # Iceberg incremental read. Written AFTER the consumer's own commit;
+    # a kill in between leaves a stale bookmark, which is safe: the next
+    # run re-derives a superset frontier and idempotent anti-joins /
+    # relabels absorb the overlap.
+    def _bookmark(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}_BOOKMARK.json")
+
+    def write_bookmark(self, name: str, payload: dict) -> None:
+        side = self._bookmark(name)
+        with open(side + ".tmp", "w") as f:
+            json.dump(payload, f)
+        os.replace(side + ".tmp", side)
+
+    def read_bookmark(self, name: str) -> dict | None:
+        side = self._bookmark(name)
+        if not os.path.exists(side):
+            return None
+        with open(side) as f:
+            return json.load(f)
+
+    def drop_bookmark(self, name: str) -> None:
+        side = self._bookmark(name)
+        if os.path.exists(side):
+            os.remove(side)
 
     # -- incremental-table params sidecar ----------------------------------
     # An append-mode (incremental) table accumulates data across runs; its
@@ -187,7 +273,7 @@ class CheckpointCatalog:
         if os.path.exists(marker):
             os.remove(marker)
 
-        if mode == "overwrite":
+        if mode in ("overwrite", "cow"):
             # clean ALL orphaned temp dirs for this table, not just this
             # run's: a kill between tmp-write and rename leaves a
             # full-size copy under a dead run_id that no later run would
@@ -202,6 +288,46 @@ class CheckpointCatalog:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(tmp)
+            if partition_by and not any(
+                e.startswith(f"{partition_by[0]}=") for e in os.listdir(tmp)
+            ) and not (mode == "cow" and os.path.exists(path)):
+                # empty partitioned write emits no data files (only
+                # _SUCCESS) — unreadable. Re-write plain so the schema
+                # survives (the partition column becomes a regular
+                # column of the one empty file). NOT for an empty cow
+                # tick over an existing table: a plain file would mix
+                # with the carried-forward hive dirs into an unreadable
+                # layout — there the carry-forward below reproduces the
+                # prior snapshot verbatim (every partition unchanged).
+                shutil.rmtree(tmp)
+                df.write.mode("overwrite").parquet(tmp)
+            if mode == "cow" and os.path.exists(path):
+                # copy-on-write: partitions present in the new data are
+                # replaced; every other partition's immutable files are
+                # carried forward into the new snapshot by hardlink —
+                # no data copy, identical inodes, same relative names
+                # (so their lineage rows are not re-emitted). The
+                # Iceberg analog is a dynamic-partition-overwrite
+                # snapshot referencing the untouched data files.
+                replaced = {
+                    e for e in os.listdir(tmp)
+                    if partition_by and e.startswith(f"{partition_by[0]}=")
+                }
+                for entry in os.listdir(path):
+                    if not partition_by or not entry.startswith(
+                        f"{partition_by[0]}="
+                    ) or entry in replaced:
+                        continue
+                    src_dir = os.path.join(path, entry)
+                    if not os.path.isdir(src_dir):
+                        continue
+                    dst_dir = os.path.join(tmp, entry)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    for fn in os.listdir(src_dir):
+                        if fn.startswith(("_", ".")):
+                            continue
+                        os.link(os.path.join(src_dir, fn),
+                                os.path.join(dst_dir, fn))
             if os.path.exists(path):
                 shutil.rmtree(path)
             os.rename(tmp, path)
@@ -214,6 +340,9 @@ class CheckpointCatalog:
             raise ValueError(mode)
 
         wall_ms = int((time.time() - t0) * 1000)
+        # cow keeps the old manifest sidecar (reset=False) so lineage
+        # rows are emitted ONLY for newly written files — the carried-
+        # forward hardlinks keep their relative names and stay recorded
         rows = self._record_lineage(name, params_hash, wall_ms, reset=(mode == "overwrite"))
         info = CommitInfo(
             stage=name,
@@ -257,7 +386,10 @@ class CheckpointCatalog:
         for frag in ds.get_fragments():
             md = frag.metadata if hasattr(frag, "metadata") else None
             nrows = md.num_rows if md is not None else frag.count_rows()
-            base = os.path.basename(frag.path)
+            # relative path, not basename: partitioned (cow) tables keep
+            # their files under partition dirs, and the manifest must
+            # round-trip through read_files
+            base = os.path.relpath(frag.path, path)
             total += nrows
             all_names.append(base)
             if base in seen:
