@@ -153,7 +153,9 @@ def test_cli_media_transcode(capsys, spark, tmp_path):
     hashes = {r["media_id"]: r["phash"]
               for r in multimodal.perceptual_hashes(both, strict=True).collect()}
     for i in range(0, 16, 2):
-        assert hashes[f"m{i:08d}"] == hashes["p" + f"{i:08d}"]
+        # transcoded id = prefix + FULL original id (collision-proof for
+        # arbitrary catalogs — round-4 advisor finding)
+        assert hashes[f"m{i:08d}"] == hashes["p" + f"m{i:08d}"]
 
 
 def test_cli_media_dupes(capsys, spark, tmp_path):
