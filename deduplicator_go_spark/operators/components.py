@@ -43,14 +43,22 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
-    """emit (v, m) for v in N(u), v > u, where m = min(N(u) ∪ {u})."""
+    """emit (v, m) for v in N(u), v > u, where m = min(N(u) ∪ {u}).
+
+    Deliberately NOT distinct'd: duplicates (same (v, m) via different
+    u) are rare — they need two neighbors of v sharing the same local
+    minimum — and the consumer (_small_star) flows straight into a
+    partial-aggregated groupBy plus a terminal distinct, so set
+    semantics are restored one operator later. Dropping the
+    intermediate distinct removes a full shuffle from every CC round
+    (per-round latency is a fixed cost that taxes N-vs-4N scaling
+    efficiency identically at both levels)."""
     nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
     m = nbr_min.withColumn("m", F.least("u", "mn")).select("u", "m")
     return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

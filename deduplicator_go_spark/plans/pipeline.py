@@ -540,8 +540,16 @@ class DedupPipeline:
             # exact-hash edges are never dropped (recall requirement)
             all_edges = near_edges.unionByName(self._read("exact_edges"))
             assignments = connected_components(all_edges, c.cc_max_iters)
-            return assign_all(valid, assignments).withColumn(
-                "pbucket", _pbucket("url")
+            # repartition on the write's partition column: without it
+            # every upstream task writes a file into every bucket dir
+            # (tasks x buckets files — measured 8x write wall and
+            # seconds of driver-side commit renames + partition
+            # discovery); with it, one file per bucket, tasks untouched
+            # buckets never open
+            return (
+                assign_all(valid, assignments)
+                .withColumn("pbucket", _pbucket("url"))
+                .repartition("pbucket")
             )
 
         def build_clusters_tick() -> DataFrame:
@@ -624,7 +632,9 @@ class DedupPipeline:
                 .distinct()
             )
             self._pending_changed_ids = changed_ids.localCheckpoint(eager=True)
-            return relabeled.unionByName(new_rows)
+            # same one-file-per-bucket shaping as the full build; a tick
+            # touches few buckets, so this is a small shuffle
+            return relabeled.unionByName(new_rows).repartition("pbucket")
 
         self._pending_changed_ids = None
         cluster_stage = self._stage(

@@ -91,6 +91,9 @@ class CheckpointCatalog:
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(root, exist_ok=True)
+        # read-resolution cache: (app_id, data-file fingerprint, df) per
+        # table — see read()
+        self._read_cache: dict[str, tuple[str, tuple, object]] = {}
 
     # -- paths ------------------------------------------------------------
     def table_path(self, name: str) -> str:
@@ -129,8 +132,40 @@ class CheckpointCatalog:
             return False
         return True
 
+    def _dir_fingerprint(self, name: str) -> tuple:
+        """Sorted relative names of the table's data files, from a local
+        directory walk (~ms). Deliberately NOT the frags sidecar: a kill
+        mid-append leaves orphan data files the sidecar doesn't know
+        about, and the resume defence (frontier anti-join against the
+        table's actual contents) must see them."""
+        path = self.table_path(name)
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                out.append(os.path.relpath(os.path.join(dirpath, fn), path))
+        return tuple(sorted(out))
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(name))
+        """Resolve the table to a DataFrame, cached per (session, data
+        files). Each ``spark.read.parquet`` pays ~0.2 s of driver-side
+        source resolution (file listing + schema inference; ~1.4 s for
+        a partitioned cow table) — a FIXED cost identical at every
+        parallelism level, so repeated resolutions of an unchanged
+        table directly tax scaling efficiency. The cache key is the
+        actual data-file set (directory walk, not the manifest
+        sidecar), so any append/overwrite/cow — including orphan files
+        from a killed append — changes the key and forces a fresh
+        resolution. On Iceberg this is the table's current snapshot id."""
+        app = spark.sparkContext.applicationId
+        fp = self._dir_fingerprint(name)
+        hit = self._read_cache.get(name)
+        if hit is not None and hit[0] == app and hit[1] == fp:
+            return hit[2]
+        df = spark.read.parquet(self.table_path(name))
+        self._read_cache[name] = (app, fp, df)
+        return df
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self.table_path(name))
@@ -151,6 +186,7 @@ class CheckpointCatalog:
         )
 
     def drop(self, name: str) -> None:
+        self._read_cache.pop(name, None)
         path = self.table_path(name)
         if os.path.exists(path):
             shutil.rmtree(path)

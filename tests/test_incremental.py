@@ -118,3 +118,42 @@ def test_overwrite_cleans_orphan_tmp_dirs(spark, tmp_path):
     c2.write(df, "t", params_hash="p")
     assert not os.path.exists(orphan)
     assert c2.read(spark, "t").count() == 1
+
+
+def test_read_cache_invalidates_on_data_change(spark, tmp_path):
+    """catalog.read caches source resolution per (session, data-file
+    set): an unchanged table returns the SAME DataFrame handle (no
+    re-resolution — the fixed driver cost taxes scaling efficiency),
+    while any append — including an orphan file from a killed append
+    that the frags sidecar never recorded — changes the fingerprint
+    and forces a fresh read that sees the new rows (the kill-window
+    frontier defence reads actual contents, not the manifest)."""
+    import pandas as pd
+
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    cat.write(df, "t", params_hash="p", mode="append")
+    r1 = cat.read(spark, "t")
+    assert r1 is cat.read(spark, "t")  # unchanged table → cache hit
+    assert r1.count() == 2
+
+    # committed append invalidates
+    cat.write(spark.createDataFrame([("u3",)], "url string"), "t",
+              params_hash="p", mode="append")
+    r2 = cat.read(spark, "t")
+    assert r2 is not r1
+    assert r2.count() == 3
+
+    # orphan file written behind the catalog's back (killed mid-append:
+    # data file exists, sidecar/marker never updated) ALSO invalidates
+    pd.DataFrame({"url": ["u4"]}).to_parquet(
+        cat.table_path("t") + "/part-orphan.parquet"
+    )
+    r3 = cat.read(spark, "t")
+    assert r3 is not r2
+    assert r3.count() == 4
+
+    cat.drop("t")
+    assert cat._read_cache.get("t") is None
