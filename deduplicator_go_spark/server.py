@@ -2,6 +2,9 @@
 over the engine's checkpoint catalog.
 
 Reference parity (/root/reference/cmd/server.go):
+  GET  /                      → single-file web UI (webui.py — the
+                                engine's re-expression of the Vite
+                                frontend in /root/reference/web/)
   GET  /api/health            → HandleServer health payload (:236-247)
   GET  /api/search?q=&limit=  → searchFiles LIKE query, host-scoped or
                                 all-hosts, ORDER BY id DESC, capped at
@@ -189,6 +192,16 @@ def _make_handler(service: SearchService):
 
         def do_GET(self) -> None:
             url = urlparse(self.path)
+            if url.path in ("/", "/index.html"):
+                from .webui import INDEX_HTML
+
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if url.path == "/api/health":
                 return self._json(200, service.health())
             if url.path == "/api/search":

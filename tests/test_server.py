@@ -164,3 +164,17 @@ def test_delete_is_host_scoped(spark, tmp_path):
     assert sorted((r["host"] or "<null>") for r in left if r["path"] == "/shared/p.txt") \
         == ["<null>", "H2"]  # h2 + NULL-host rows for the path survive
     assert any(r["path"] == "/only-h1.txt" for r in left)
+
+
+def test_index_serves_web_ui(served):
+    """GET / returns the single-file UI (webui.py) — the engine's
+    re-expression of the reference's Vite frontend
+    (/root/reference/web/src/App.jsx): search box wired to /api/search,
+    health banner, delete-confirm flow."""
+    _service, base = served
+    with urllib.request.urlopen(base + "/") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read().decode()
+    for needle in ("Deduplicator Files", "/api/search", "/api/health", "/delete"):
+        assert needle in body
