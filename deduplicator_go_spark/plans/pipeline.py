@@ -165,6 +165,52 @@ class DedupPipeline:
              producer: self.catalog.current_files(producer)},
         )
 
+    def _doc_frontier(self, name: str, upstream: str,
+                      keys: list[str] | None = None) -> DataFrame | None:
+        """Frontier rows of ``upstream`` not yet processed into ``name``,
+        via the stage's source bookmark (the Iceberg incremental-
+        snapshot-read shape): ONLY upstream files appended since the
+        bookmark are scanned — never the standing corpus. The round-4
+        form anti-joined the full upstream against a ``distinct()`` of
+        the stage's own output urls; for exploded outputs (band_rows
+        ~bands rows/doc, anchor_rows ~len/mod rows/doc) that distinct
+        was a standing-corpus shuffle per tick and the dominant tick
+        cost (anchor_rows: 14 s of a 41 s tick at 20k docs).
+
+        Kill-window defence (output committed, bookmark write lost):
+        rows already appended live in output files the bookmark's
+        ``self`` manifest doesn't cover — scan exactly those files
+        (frontier-proportional) and anti-join their keys away, so the
+        rerun appends no duplicates. Returns None when no valid
+        bookmark exists (first run / params change / pre-upgrade
+        catalog) — the caller takes its full-derivation branch."""
+        keys = keys or ["url"]
+        bm = self.catalog.read_bookmark(f"{name}_src")
+        if (
+            bm is None or bm.get("params_hash") != self.ph
+            or not self.catalog.exists(name)
+        ):
+            return None
+        frontier = self.catalog.appended_since(self.spark, upstream,
+                                               bm.get(upstream, []))
+        already = (
+            self.catalog.appended_since(self.spark, name, bm.get("self", []))
+            .select(*keys).distinct()
+        )
+        return frontier.join(already, keys, "left_anti")
+
+    def _write_doc_bookmark(self, name: str, upstream: str) -> None:
+        """Record (upstream manifest processed, own manifest at commit)
+        — written AFTER the stage commit so ``self`` covers this tick's
+        files; a kill in between leaves a stale bookmark whose only
+        cost is the frontier-proportional dup scan above."""
+        self.catalog.write_bookmark(
+            f"{name}_src",
+            {"params_hash": self.ph,
+             upstream: self.catalog.current_files(upstream),
+             "self": self.catalog.current_files(name)},
+        )
+
     def _bucket_diff_pairs(self, bands_name: str, bands: DataFrame,
                            seen_files: list[str],
                            existing_name: str) -> DataFrame:
@@ -297,15 +343,20 @@ class DedupPipeline:
         valid = self._read("valid_docs")
 
         def build_exact_sigs() -> DataFrame:
-            frontier = valid
-            if self.catalog.exists("exact_sigs"):
-                done = self._read("exact_sigs").select("url")
-                frontier = frontier.join(done, "url", "left_anti")
+            frontier = self._doc_frontier("exact_sigs", "valid_docs")
+            if frontier is None:  # first run / params change: full anti-join
+                frontier = valid
+                if self.catalog.exists("exact_sigs"):
+                    done = self._read("exact_sigs").select("url")
+                    frontier = frontier.join(done, "url", "left_anti")
             return exact.with_signature(frontier)
 
-        report.stages.append(
-            self._incremental_stage("exact_sigs", build_exact_sigs, deps=["valid_docs"])
+        sig_stage = self._incremental_stage(
+            "exact_sigs", build_exact_sigs, deps=["valid_docs"]
         )
+        report.stages.append(sig_stage)
+        if not sig_stage.skipped:
+            self._write_doc_bookmark("exact_sigs", "valid_docs")
 
         # exact edges: append-incremental. On a tick only (hash, size)
         # groups touched by newly-signed docs are re-starred — the
@@ -345,29 +396,42 @@ class DedupPipeline:
         # Partial output from a killed run is only reused when it was
         # computed under the same params (sidecar check), otherwise wiped.
         def build_minhash() -> DataFrame:
-            frontier = valid.select("url", "text")
-            if self.catalog.exists("minhash_sigs"):
-                done = self._read("minhash_sigs").select("url")
-                frontier = frontier.join(done, "url", "left_anti")
-            return minhash_signatures(frontier, c.shingle_size, c.num_perm, c.minhash_seed)
+            frontier = self._doc_frontier("minhash_sigs", "valid_docs")
+            if frontier is None:
+                frontier = valid
+                if self.catalog.exists("minhash_sigs"):
+                    done = self._read("minhash_sigs").select("url")
+                    frontier = frontier.join(done, "url", "left_anti")
+            return minhash_signatures(
+                frontier.select("url", "text"), c.shingle_size, c.num_perm,
+                c.minhash_seed,
+            )
 
-        report.stages.append(
-            self._incremental_stage("minhash_sigs", build_minhash, deps=["valid_docs"])
+        mh_stage = self._incremental_stage(
+            "minhash_sigs", build_minhash, deps=["valid_docs"]
         )
+        report.stages.append(mh_stage)
+        if not mh_stage.skipped:
+            self._write_doc_bookmark("minhash_sigs", "valid_docs")
 
         # band rows: the LSH band table, STAGED in the catalog (not an
         # in-stage temporary) so the candidate stage can diff bucket
         # membership across ticks. Append-only, one row per (doc, band).
         def build_band_rows() -> DataFrame:
-            sigs = self._read("minhash_sigs")
-            if self.catalog.exists("band_rows"):
-                done = self._read("band_rows").select("url").distinct()
-                sigs = sigs.join(done, "url", "left_anti")
+            sigs = self._doc_frontier("band_rows", "minhash_sigs")
+            if sigs is None:
+                sigs = self._read("minhash_sigs")
+                if self.catalog.exists("band_rows"):
+                    done = self._read("band_rows").select("url").distinct()
+                    sigs = sigs.join(done, "url", "left_anti")
             return band_table(sigs, c.lsh_bands, c.lsh_rows)
 
-        report.stages.append(
-            self._incremental_stage("band_rows", build_band_rows, deps=["minhash_sigs"])
+        band_stage = self._incremental_stage(
+            "band_rows", build_band_rows, deps=["minhash_sigs"]
         )
+        report.stages.append(band_stage)
+        if not band_stage.skipped:
+            self._write_doc_bookmark("band_rows", "minhash_sigs")
 
         # candidates: on the first tick, the full banded self-join; on
         # later ticks, ONLY buckets containing a new member are
@@ -417,10 +481,14 @@ class DedupPipeline:
         # verification: only pairs not yet verified (pair-key frontier) —
         # on a tick, exactly the pairs the candidate stage appended.
         def build_verified() -> DataFrame:
-            pairs = self._read("candidates")
-            if self.catalog.exists("verified_pairs"):
-                done_pairs = self._read("verified_pairs").select("url_a", "url_b")
-                pairs = pairs.join(done_pairs, ["url_a", "url_b"], "left_anti")
+            pairs = self._doc_frontier(
+                "verified_pairs", "candidates", keys=["url_a", "url_b"]
+            )
+            if pairs is None:
+                pairs = self._read("candidates")
+                if self.catalog.exists("verified_pairs"):
+                    done_pairs = self._read("verified_pairs").select("url_a", "url_b")
+                    pairs = pairs.join(done_pairs, ["url_a", "url_b"], "left_anti")
             return verify_pairs(
                 pairs,
                 valid,
@@ -430,9 +498,12 @@ class DedupPipeline:
                 num_perm=c.num_perm,
             )
 
-        report.stages.append(
-            self._incremental_stage("verified_pairs", build_verified, deps=["candidates"])
+        ver_stage = self._incremental_stage(
+            "verified_pairs", build_verified, deps=["candidates"]
         )
+        report.stages.append(ver_stage)
+        if not ver_stage.skipped:
+            self._write_doc_bookmark("verified_pairs", "candidates")
 
         if self.with_substr:
             # anchor rows: the winnowing-anchor table, STAGED in the
@@ -442,17 +513,21 @@ class DedupPipeline:
             # shorter than min_len can never hold a qualifying block
             # (LCS <= min(len)) so they never enter the table.
             def build_anchor_rows() -> DataFrame:
-                frontier = valid.filter(F.length("text") >= c.substr_min_len)
-                if self.catalog.exists("anchor_rows"):
-                    done = self._read("anchor_rows").select("url").distinct()
-                    frontier = frontier.join(done, "url", "left_anti")
+                frontier = self._doc_frontier("anchor_rows", "valid_docs")
+                if frontier is None:
+                    frontier = valid
+                    if self.catalog.exists("anchor_rows"):
+                        done = self._read("anchor_rows").select("url").distinct()
+                        frontier = frontier.join(done, "url", "left_anti")
+                frontier = frontier.filter(F.length("text") >= c.substr_min_len)
                 return anchor_table(frontier, c.substr_anchor_k, c.substr_anchor_mod)
 
-            report.stages.append(
-                self._incremental_stage(
-                    "anchor_rows", build_anchor_rows, deps=["valid_docs"]
-                )
+            anchor_stage = self._incremental_stage(
+                "anchor_rows", build_anchor_rows, deps=["valid_docs"]
             )
+            report.stages.append(anchor_stage)
+            if not anchor_stage.skipped:
+                self._write_doc_bookmark("anchor_rows", "valid_docs")
 
             # substr pairs: tick-incremental like candidates — on tick 1
             # the full anchor-blocked self-join; on later ticks only

@@ -481,3 +481,66 @@ def test_cow_write_empty_tick_carries_snapshot_forward(spark, tmp_path_factory):
         .count()
     )
     assert n_new_lineage == 0
+
+
+def test_doc_bookmark_kill_window_no_duplicates(spark, docs, tmp_path_factory):
+    """Kill window for the per-doc source bookmarks (r5): a stage's
+    commit landed but its ``<stage>_src`` bookmark write did not. On
+    the next tick ``_doc_frontier`` derives a superset frontier from
+    the stale bookmark; the defence — anti-joining urls found in the
+    stage's OWN files appended since the bookmark's ``self`` manifest
+    (frontier-proportional, never a standing-table distinct) — must
+    keep every per-doc table duplicate-free and the clusters equal to
+    a from-scratch run."""
+    root = str(tmp_path_factory.mktemp("docbm"))
+    cfg = DedupConfig()
+    tick1_docs = docs.filter(F.abs(F.xxhash64("url")) % 3 != 0)
+    DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=True).run(tick1_docs)
+
+    # simulate the kill: the tick-1 stage commits exist, but every
+    # per-doc source bookmark is stale (here: gone entirely)
+    cat = CheckpointCatalog(root)
+    for stage in ("exact_sigs", "minhash_sigs", "band_rows",
+                  "anchor_rows", "verified_pairs"):
+        cat.drop_bookmark(f"{stage}_src")
+
+    DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=True).run(docs)
+    for stage in ("valid_docs", "exact_sigs", "minhash_sigs"):
+        t = cat.read(spark, stage)
+        assert t.count() == t.select("url").distinct().count(), stage
+    for stage in ("band_rows", "anchor_rows"):
+        t = cat.read(spark, stage)
+        assert t.count() == t.select("url", "band_id", "band_hash").distinct().count(), stage
+    vp = cat.read(spark, "verified_pairs")
+    assert vp.count() == vp.select("url_a", "url_b").distinct().count()
+
+    scratch = str(tmp_path_factory.mktemp("docbm-scratch"))
+    DedupPipeline(spark, CheckpointCatalog(scratch), cfg, with_substr=True).run(docs)
+    got = _cluster_partition(cat.read(spark, "clusters").collect())
+    want = _cluster_partition(
+        CheckpointCatalog(scratch).read(spark, "clusters").collect()
+    )
+    assert got == want
+
+
+def test_doc_bookmark_stale_after_commit_skip(spark, docs, tmp_path_factory):
+    """The subtler window: stage committed, bookmark lost, and the NEXT
+    run skips the stage (upstream unchanged) so the bookmark is never
+    rewritten. The tick after that (upstream grown) must still derive
+    a correct frontier from the stale bookmark and append exactly the
+    new docs, no duplicates."""
+    root = str(tmp_path_factory.mktemp("docbm2"))
+    cfg = DedupConfig()
+    tick1_docs = docs.filter(F.abs(F.xxhash64("url")) % 3 != 0)
+    DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False).run(tick1_docs)
+    cat = CheckpointCatalog(root)
+    cat.drop_bookmark("minhash_sigs_src")
+
+    # unchanged re-run: minhash skips, bookmark stays absent
+    r2 = DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False).run(tick1_docs)
+    assert {s.name: s.skipped for s in r2.stages}["minhash_sigs"]
+
+    DedupPipeline(spark, CheckpointCatalog(root), cfg, with_substr=False).run(docs)
+    mh = cat.read(spark, "minhash_sigs")
+    assert mh.count() == mh.select("url").distinct().count()
+    assert mh.count() == cat.read(spark, "valid_docs").count()
