@@ -608,17 +608,20 @@ def _q_latest_versions(spark, sf_dir):
 
 
 def _q_media_cross_format_dups(spark, sf_dir):
-    """Cross-format image dedup: the same content stored as BMP and as
-    PNG must collide on perceptual hash (hashes are computed over
-    DECODED pixels; both codecs are lossless, so a transcode preserves
-    them exactly). The view is the image subset with no planted
-    near-dup structure (doc_id % 8 in (2, 6)) plus a distributed PNG
-    transcode of each ('pm' ids = prefix + full original id, engine's
-    own stdlib-zlib PNG codec) —
-    the truth set is exactly {(m<id>, pm<id>)} at hamming 0, which the
-    oracle pins; distinct ids are independent random 64-bit patterns
-    (collision odds ~2e-15/pair), verified collision-free on this
-    data."""
+    """Cross-format image dedup: the same content stored as BMP, PNG,
+    and JPEG must collide on perceptual hash (hashes are computed over
+    DECODED pixels; PNG is lossless, and the synth patterns' 0/255
+    block means put every average-hash bit far from the decision
+    boundary, so baseline-JPEG q95 noise cannot flip one). The view is
+    the image subset with no planted near-dup structure (doc_id % 8 in
+    (2, 6)) plus a distributed PNG transcode ('pm' ids) and a
+    distributed JPEG transcode ('jm' ids) of each — all three codecs
+    are the engine's own zero-dependency implementations
+    (operators/multimodal.py, operators/jpeg.py). The truth set is
+    exactly the 3-clique {(jm,m), (jm,pm), (m,pm)} per id at hamming 0,
+    which the oracle pins; distinct ids are independent random 64-bit
+    patterns (collision odds ~2e-15/pair), verified collision-free on
+    this data."""
     from deduplicator_go_spark.fixtures.media import synthetic_media
     from deduplicator_go_spark.operators import multimodal
 
@@ -629,7 +632,10 @@ def _q_media_cross_format_dups(spark, sf_dir):
     )
     media = synthetic_media(ids)
     png = multimodal.transcode_media(media, to_mime="image/png", id_prefix="p")
-    return multimodal.phash_dup_pairs(media.unionByName(png), max_hamming=3)
+    jpg = multimodal.transcode_media(media, to_mime="image/jpeg", id_prefix="j")
+    return multimodal.phash_dup_pairs(
+        media.unionByName(png).unionByName(jpg), max_hamming=3
+    )
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -1388,18 +1394,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 8 IN (4, 5)
               AND EXISTS (SELECT 1 FROM documents p WHERE p.doc_id = d.doc_id - 4)
         """,
-        # Cross-format image dedup truth: each selected doc_id yields
-        # one BMP original ('m' id) and one lossless PNG transcode
-        # ('pm' id = prefix + FULL original id, collision-proof for
-        # arbitrary catalogs) with identical decoded pixels → identical
-        # perceptual hash → exactly one pair per id at hamming 0;
-        # 'm' < 'p' fixes the pair orientation.
+        # Cross-format image dedup truth: each selected doc_id yields a
+        # BMP original ('m' id), a lossless PNG transcode ('pm' id),
+        # and a baseline-JPEG q95 transcode ('jm' id) — identical
+        # perceptual hashes (PNG exactly; JPEG because the patterns'
+        # 0/255 block means sit far from the hash's global-mean
+        # threshold) → exactly the 3-clique per id at hamming 0, pair
+        # orientation fixed by id order 'j' < 'm' < 'p'.
         "media_cross_format_dups": """
-            SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
-                   'pm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+            WITH sel AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS nid
+              FROM documents WHERE doc_id % 8 IN (2, 6)
+            ),
+            pairs(a_pre, b_pre) AS (VALUES ('jm', 'm'), ('jm', 'pm'), ('m', 'pm'))
+            SELECT a_pre || nid AS media_id_a,
+                   b_pre || nid AS media_id_b,
                    'image' AS kind,
                    CAST(0 AS INT) AS hamming
-            FROM documents WHERE doc_id % 8 IN (2, 6)
+            FROM sel CROSS JOIN pairs
         """,
         # Semver compare: the sortable key mirrors functions/versions.py
         # exactly — zero-padded numeric segments, '|' (0x7C) for

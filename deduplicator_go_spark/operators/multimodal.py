@@ -6,19 +6,22 @@ a typed metadata struct — the same shape the documents table uses for
 Arrow batch amortizes Python overhead and payload bytes never pass
 through Python row objects.
 
-Codecs: three formats are decoded for real, with zero third-party
+Codecs: four formats are decoded for real, with zero third-party
 codec libraries (pure numpy/struct, plus stdlib zlib for PNG):
 
 - ``image/bmp`` — 24-bit bottom-up BMP (BITMAPINFOHEADER);
 - ``image/png`` — 8-bit gray/RGB/RGBA non-interlaced PNG (full
   filter support: None/Sub/Up/Average/Paeth);
+- ``image/jpeg`` — baseline sequential JFIF (gray/YCbCr, 4:4:4 /
+  4:2:2 / 4:2:0 sampling, restart intervals — operators/jpeg.py; the
+  format covering >90% of web images);
 - ``audio/wav`` — PCM16 mono WAV.
 
-Everything else (JPEG/MP3/...) is honestly out of scope here (their
-entropy coders need real codec libraries): ``strict=True`` raises
-``NotImplementedError`` for unsupported mimes, ``strict=False`` falls
-back to a clearly-marked deterministic stub feature so the
-distributed plumbing stays exercisable end-to-end.
+Everything else (progressive JPEG, MP3/...) is honestly out of scope
+here: ``strict=True`` raises ``NotImplementedError`` for unsupported
+mimes/variants, ``strict=False`` falls back to a clearly-marked
+deterministic stub feature (or a NULL hash) so the distributed
+plumbing stays exercisable end-to-end.
 
 Because perceptual hashes are computed over DECODED pixels, the same
 image stored as BMP and as PNG produces an identical hash — the
@@ -44,6 +47,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec registry)
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, mime string, "
@@ -308,9 +313,13 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
-DECODABLE_MIMES = {"image/bmp", "image/png", "audio/wav"}
+DECODABLE_MIMES = {"image/bmp", "image/png", "image/jpeg", "audio/wav"}
 
-_IMAGE_DECODERS = {"image/bmp": decode_bmp, "image/png": decode_png}
+_IMAGE_DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
+}
 
 
 def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
@@ -428,19 +437,26 @@ def transcode_media(
     to_mime: str = "image/png",
     id_prefix: str = "p",
     strict: bool = False,
+    jpeg_quality: int = 95,
 ) -> DataFrame:
     """Distributed image transcode: decode each supported image payload
-    and re-encode it as ``to_mime`` (image/png or image/bmp), emitting
-    (media_id = id_prefix + original media_id, kind, payload, mime, ...)
-    rows with the SAME schema as the input so the output unions back
-    into a media table. Decoded pixels are preserved exactly (both
-    codecs are lossless), so perceptual hashes survive transcoding —
-    the basis of cross-format dedup. Non-image or undecodable rows are
-    dropped under ``strict=False`` (raise under strict).
+    and re-encode it as ``to_mime`` (image/png, image/bmp, or
+    image/jpeg), emitting (media_id = id_prefix + original media_id,
+    kind, payload, mime, ...) rows with the SAME schema as the input so
+    the output unions back into a media table. PNG/BMP targets preserve
+    the decoded pixels exactly (lossless); a JPEG target is lossy by
+    nature (``jpeg_quality``), but perceptual hashes are designed to
+    survive it — cross-format dedup covers all three. Non-image or
+    undecodable rows are dropped under ``strict=False`` (raise under
+    strict).
 
     Runs in ``mapInPandas``: payload bytes stay in Arrow batches, one
     decode+encode per row, no driver involvement."""
-    encoders = {"image/png": encode_png, "image/bmp": encode_bmp}
+    encoders = {
+        "image/png": encode_png,
+        "image/bmp": encode_bmp,
+        "image/jpeg": lambda img: encode_jpeg(img, quality=jpeg_quality),
+    }
     if to_mime not in encoders:
         raise ValueError(f"transcode target {to_mime!r}; supported: {sorted(encoders)}")
     encode = encoders[to_mime]
