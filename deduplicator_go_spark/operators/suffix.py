@@ -58,11 +58,21 @@ def anchor_table(docs: DataFrame, k: int = 64, mod: int = 16, text_col: str = "t
              for h in batch_window_hashes(texts, k)]
         )
 
+    # explode_outer, NOT explode: Generate(outer=false) lets Catalyst
+    # infer `size(a) > 0` and push that filter below the repartition
+    # Exchange — which re-evaluates the anchors UDF on the UNSHUFFLED
+    # side (scan partition count, e.g. 2 tasks for a tick frontier) and
+    # then again post-exchange: the whole winnowing pass ran twice,
+    # once serialized (plan-verified round 5). outer=true infers
+    # nothing; the null rows an empty anchor array produces are dropped
+    # by a post-Generate filter on the OUTPUT column, which cannot sink
+    # below the UDF.
     return (
         docs.select("url", F.col(text_col).alias(text_col))
         .repartition(cpu_partitions(docs))
         .select("url", anchors(F.col(text_col)).alias("a"))
-        .select("url", F.explode("a").alias("band_hash"))
+        .select("url", F.explode_outer("a").alias("band_hash"))
+        .filter(F.col("band_hash").isNotNull())
         .withColumn("band_id", F.lit(0))
         .select("url", "band_id", "band_hash")
     )
@@ -168,7 +178,14 @@ def prune_substr_candidates(
             exclude_pairs.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti"
         )
     if sigs is not None:
-        sha = sigs.select("url", "content_sha")
+        from .verify import pair_endpoints
+
+        # semi-prune the sha table to the candidate endpoints — on an
+        # incremental tick the candidates touch a sliver of the corpus
+        # and the two attach joins must not shuffle every standing sha
+        sha = sigs.select("url", "content_sha").join(
+            pair_endpoints(cands), "url", "left_semi"
+        )
         cands = (
             cands.join(sha.withColumnsRenamed({"url": "url_a", "content_sha": "sha_a"}), "url_a")
             .join(sha.withColumnsRenamed({"url": "url_b", "content_sha": "sha_b"}), "url_b")

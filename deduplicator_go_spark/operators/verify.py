@@ -21,13 +21,28 @@ from pyspark.sql import types as T
 from .minhash import shingle_hashes
 
 
+def pair_endpoints(pairs: DataFrame) -> DataFrame:
+    """Distinct urls appearing on either side of the pair edges."""
+    return (
+        pairs.select(F.col("url_a").alias("url"))
+        .unionByName(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+
+
 def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """Join both endpoints' texts onto the candidate edges.
 
-    Two shuffle joins on url; the docs side is pre-projected to
-    (url, text) so only needed columns move.
+    The docs side is semi-pruned to the pair endpoints first, so only
+    texts that are actually compared move through the two attach
+    joins — on an incremental tick the pair frontier touches a tiny
+    fraction of the standing corpus, and without the prune both joins
+    shuffle every standing text per tick. AQE turns the pruned side
+    into a broadcast when it is small (runtime stats, not estimates).
     """
-    texts = docs.select("url", "text")
+    texts = docs.select("url", "text").join(
+        pair_endpoints(pairs), "url", "left_semi"
+    )
     return (
         pairs.join(texts.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
         .join(texts.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
@@ -115,7 +130,13 @@ def verify_pairs(
                 F.lit("est").alias("verify_tier"),
             )
         num_perm = len(first["sig"])
-    s = sigs.select("url", "sig")
+    # semi-prune the signature table to the pair endpoints before the
+    # two attach joins: without it each join shuffles the FULL standing
+    # signature table (url + num_perm bigints per row) even when the
+    # pair frontier is a tick's sliver of the corpus. The pruned side
+    # is one pass over sigs; AQE broadcasts the endpoint list when its
+    # runtime size allows.
+    s = sigs.select("url", "sig").join(pair_endpoints(pairs), "url", "left_semi")
     # Both the clear and borderline branches consume this estimate
     # table; without pinning it, the union plan re-runs the two sig
     # joins (the whole signature table shuffled twice more) per branch.

@@ -234,16 +234,19 @@ class DedupPipeline:
         never duplicate rows; a stale bookmark only widens the frontier
         to a superset (same defence absorbs it)."""
         c = self.config
-        new_urls = (
+        # the appended rows ARE the frontier's band memberships — both
+        # the frontier urls and the touched buckets come straight from
+        # them (one small materialization), so the only standing-table
+        # pass left is the members semi-join below. Round-5 profile:
+        # deriving new_buckets via a second full-bands semi-join cost an
+        # extra standing scan per tick.
+        new_rows = (
             self.catalog.appended_since(self.spark, bands_name, seen_files)
-            .select("url").distinct()
+            .select("url", "band_id", "band_hash")
             .localCheckpoint(eager=True)
         )
-        new_buckets = (
-            bands.join(new_urls, "url", "left_semi")
-            .select("band_id", "band_hash")
-            .distinct()
-        )
+        new_urls = new_rows.select("url").distinct()
+        new_buckets = new_rows.select("band_id", "band_hash").distinct()
         members = bands.join(new_buckets, ["band_id", "band_hash"], "left_semi")
         pairs = candidate_pairs(
             members,
