@@ -64,9 +64,17 @@ SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "4"))
 SCALE_LO = max(1, SCALE_HI // 4)
 # tick benchmark: fraction of the corpus appended as the tick frontier
 # and cycles (each cycle = from-scratch base run + one grown-input tick
-# on the same catalog)
+# on the same catalog). The tick corpus is LARGER than the headline
+# dedup corpus: a tick's cost is (fixed per-stage latency ~ 25 s of
+# Spark job scheduling/commit plumbing) + (frontier-proportional
+# compute) + (one narrow pass over each standing pair/band table —
+# what an Iceberg deployment would partition-prune), so at 20k docs
+# the fixed term drowns the signal the benchmark exists to show
+# (tick wall ∝ frontier, not corpus). At 100k the scratch:tick
+# separation reflects the operating model (standing corpus >> tick).
 TICK_FRAC = float(os.environ.get("BENCH_TICK_FRAC", "0.05"))
 TICK_RUNS = int(os.environ.get("BENCH_TICK_RUNS", "3"))
+TICK_N_DOCS = int(os.environ.get("BENCH_TICK_N_DOCS", str(max(N_DOCS, 100000))))
 DO_TICK = os.environ.get("BENCH_TICK", "1") != "0"
 # stages whose cost grows with data (vs fixed-latency bookkeeping)
 SCALABLE_STAGES = ["minhash_sigs", "band_rows", "candidates", "verified_pairs",
@@ -284,7 +292,7 @@ def run_tick_bench(corpus_dir: str, deadline: float | None = None) -> dict:
     same way the scaling rounds do."""
     from deduplicator_go_spark.fixtures.webtext import generate
 
-    n_total = N_DOCS
+    n_total = TICK_N_DOCS
     n_base = int(n_total * (1 - TICK_FRAC))
     corpus = generate(n_docs=n_total, seed=42)
     docs_all = corpus.documents.drop(columns=["kind"])

@@ -282,6 +282,21 @@ class DedupPipeline:
         except Exception:
             pass
 
+    # Shuffle-partition coalescing for TICK runs only. The session
+    # keeps byte-based AQE coalescing off (session.py: it starved the
+    # CPU-bound scratch-path stages), but a tick's implicit join/agg
+    # shuffles carry frontier-sized data through ~40 Spark stages at
+    # the global partition count — pure per-task scheduling tax.
+    # Explicit repartition(n) exchanges (every pandas-UDF stage) are
+    # exempt from AQE coalescing by contract, so frontier UDF
+    # parallelism is untouched. Measured: tick 34 s → 29 s at 20k docs,
+    # scratch unchanged.
+    _TICK_SHUFFLE_CONF = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    }
+
     def run(self, docs: DataFrame) -> PipelineReport:
         """One pipeline tick. Re-invoked on the same catalog with a
         grown input (the reference's 1-minute timer model,
@@ -292,6 +307,23 @@ class DedupPipeline:
         standing corpus. Whole-graph stages (edges, clusters, report)
         recompute when their upstream fingerprints moved.
         """
+        # tick mode = a prior invocation completed the whole graph under
+        # these params; a resume of a killed FIRST run stays in scratch
+        # shuffle shape (its stages still carry corpus-sized data)
+        rep_info = self.catalog.commit_info("dup_report")
+        is_tick = rep_info is not None and rep_info.params_hash == self.ph
+        conf_backup: dict[str, str] = {}
+        if is_tick:
+            for k, v in self._TICK_SHUFFLE_CONF.items():
+                conf_backup[k] = self.spark.conf.get(k)
+                self.spark.conf.set(k, v)
+        try:
+            return self._run(docs)
+        finally:
+            for k, v in conf_backup.items():
+                self.spark.conf.set(k, v)
+
+    def _run(self, docs: DataFrame) -> PipelineReport:
         c = self.config
         t_start = time.time()
         report = PipelineReport(run_id=self.catalog.run_id)
