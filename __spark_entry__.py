@@ -638,6 +638,33 @@ def _q_media_cross_format_dups(spark, sf_dir):
     )
 
 
+def _q_media_audio_cross_codec_dups(spark, sf_dir):
+    """Cross-CODEC audio dedup: the same clip stored as PCM16 WAV and
+    as IMA ADPCM (4-bit compressed, fmt 0x11 — both the engine's own
+    zero-dependency codecs) must collide on the energy-envelope hash.
+    ADPCM is lossy, but the synth clips' quiet/loud window amplitudes
+    (500 vs 20000) put every envelope bit far from the global-mean
+    threshold, so 4-bit quantization noise cannot flip one (verified
+    hamming 0 on every clip). The view is the audio subset with no
+    planted near-dup structure (doc_id % 8 in (3, 7)) plus a
+    distributed ADPCM transcode ('am' ids) of each; the truth set is
+    exactly one (am, m) pair per id at hamming 0, which the oracle
+    pins; distinct ids are independent random 64-bit envelope patterns
+    (collision odds ~2e-15/pair), verified collision-free on this
+    data."""
+    from deduplicator_go_spark.fixtures.media import synthetic_media
+    from deduplicator_go_spark.operators import multimodal
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 8).isin(3, 7))
+    )
+    media = synthetic_media(ids)
+    adp = multimodal.transcode_media(media, to_mime="audio/adpcm", id_prefix="a")
+    return multimodal.phash_dup_pairs(media.unionByName(adp), max_hamming=3)
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k neighbors (seeded coarse quantizer +
     n_probe cells) over the planted-truth view — VALUE-checked
@@ -942,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": _q_simhash_recall,
         "media_phash_dups": _q_media_phash_dups,
         "media_cross_format_dups": _q_media_cross_format_dups,
+        "media_audio_cross_codec_dups": _q_media_audio_cross_codec_dups,
         "latest_versions": _q_latest_versions,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
@@ -1412,6 +1440,20 @@ def oracle_sql() -> dict[str, str]:
                    'image' AS kind,
                    CAST(0 AS INT) AS hamming
             FROM sel CROSS JOIN pairs
+        """,
+        # Cross-codec audio dedup truth: each selected doc_id yields a
+        # PCM16 original ('m' id) and an IMA ADPCM transcode ('am' id)
+        # whose energy-envelope hashes are identical (ADPCM is lossy,
+        # but the clips' 500-vs-20000 window amplitudes sit far from
+        # the hash's global-mean threshold) → exactly one pair per id
+        # at hamming 0, orientation fixed by id order 'a' < 'm'.
+        "media_audio_cross_codec_dups": """
+            SELECT 'am' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
+                   'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+                   'audio' AS kind,
+                   CAST(0 AS INT) AS hamming
+            FROM documents
+            WHERE doc_id % 8 IN (3, 7)
         """,
         # Semver compare: the sortable key mirrors functions/versions.py
         # exactly — zero-padded numeric segments, '|' (0x7C) for

@@ -15,7 +15,9 @@ codec libraries (pure numpy/struct, plus stdlib zlib for PNG):
 - ``image/jpeg`` — baseline sequential JFIF (gray/YCbCr, 4:4:4 /
   4:2:2 / 4:2:0 sampling, restart intervals — operators/jpeg.py; the
   format covering >90% of web images);
-- ``audio/wav`` — PCM16 mono WAV.
+- ``audio/wav`` — PCM16 mono WAV;
+- ``audio/adpcm`` — IMA ADPCM mono WAV (RIFF fmt tag 0x11, 4-bit,
+  ~4:1 compressed audio; the standard step-table codec).
 
 Everything else (progressive JPEG, MP3/...) is honestly out of scope
 here: ``strict=True`` raises ``NotImplementedError`` for unsupported
@@ -252,25 +254,151 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     )
 
 
+# IMA ADPCM (DVI4) tables — the standard 4-bit step-size adaptation
+# (IMA Digital Audio Compression & Exchange Recommendation, 1992; the
+# same tables every RIFF fmt-0x11 implementation ships).
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_reconstruct(pred: int, index: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (predictor, step index) + 4-bit code →
+    next (predictor, index). Shared by encoder and decoder so the
+    encoder's predictor tracks exactly what the decoder reconstructs."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
+    return pred, index
+
+
+def encode_adpcm_wav(samples: np.ndarray, rate: int = 16000,
+                     block_align: int = 256) -> bytes:
+    """int16 mono samples → IMA ADPCM WAV bytes (RIFF fmt tag 0x11,
+    4 bits/sample, ~4:1 vs PCM16). Block layout is the standard one:
+    a 4-byte header (int16 predictor = the block's first sample, uint8
+    step index, reserved) followed by (block_align - 4) * 2 nibbles,
+    low nibble first; a ``fact`` chunk records the true sample count so
+    the final block's padding decodes away."""
+    s = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    n = len(s)
+    index = 0
+    blocks = []
+    for start in range(0, max(n, 1), spb):
+        chunk = s[start:start + spb]
+        if len(chunk) == 0:
+            chunk = np.zeros(1, dtype=np.int64)
+        pred = int(chunk[0])
+        header = struct.pack("<hBB", pred, index, 0)
+        codes = []
+        for x in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            delta = int(x) - pred
+            code = 0
+            if delta < 0:
+                code = 8
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            pred, index = _ima_reconstruct(pred, index, code)
+            codes.append(code)
+        codes += [0] * ((spb - 1) - len(codes))  # final-block padding
+        arr = np.asarray(codes, dtype=np.uint8)
+        blocks.append(header + (arr[0::2] | (arr[1::2] << 4)).tobytes())
+    data = b"".join(blocks)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _decode_ima_blocks(payload: bytes, offset: int, size: int,
+                       block_align: int, spb: int, n_samples: int | None) -> np.ndarray:
+    out: list[int] = []
+    for bstart in range(offset, offset + size, block_align):
+        block = payload[bstart:bstart + block_align]
+        if len(block) < 4:
+            break
+        pred, index, _ = struct.unpack_from("<hBB", block, 0)
+        if index > 88:
+            raise ValueError(f"IMA step index {index} out of range")
+        out.append(pred)
+        packed = np.frombuffer(block, dtype=np.uint8, offset=4)
+        for byte in packed:
+            for code in (byte & 0xF, byte >> 4):
+                pred, index = _ima_reconstruct(pred, index, code)
+                out.append(pred)
+    arr = np.asarray(out, dtype=np.int16)
+    return arr[:n_samples] if n_samples is not None else arr
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM16 mono WAV bytes → (int16 samples, sample rate)."""
+    """Mono WAV bytes → (int16 samples, sample rate). Two codecs: PCM16
+    (fmt tag 1) and IMA ADPCM (fmt tag 0x11, the standard 4-bit
+    compressed-audio WAV — decoded through the same step tables the
+    encoder uses, so a PCM→ADPCM transcode round-trips within
+    quantization noise)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
-    rate, samples = None, None
+    audio_fmt = rate = block_align = spb = fact_n = None
+    data_span = None
     while pos + 8 <= len(payload):
         chunk_id, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
         if chunk_id == b"fmt ":
-            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, body)
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 mono WAV")
+            audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if audio_fmt == 1:
+                if channels != 1 or bits != 16:
+                    raise NotImplementedError("only mono 16-bit PCM WAV")
+            elif audio_fmt == 0x11:
+                if channels != 1 or bits != 4:
+                    raise NotImplementedError("only mono 4-bit IMA ADPCM WAV")
+                if size >= 20:
+                    spb = struct.unpack_from("<H", payload, body + 18)[0]
+                else:
+                    spb = (block_align - 4) * 2 + 1
+            else:
+                raise NotImplementedError(f"WAV codec fmt tag {audio_fmt:#x}")
+        elif chunk_id == b"fact":
+            fact_n = struct.unpack_from("<I", payload, body)[0]
         elif chunk_id == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+            data_span = (body, size)
         pos = body + size + (size % 2)
-    if rate is None or samples is None:
+    if rate is None or data_span is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return samples, rate
+    body, size = data_span
+    if audio_fmt == 1:
+        return np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body), rate
+    return _decode_ima_blocks(payload, body, size, block_align, spb, fact_n), rate
 
 
 # ---------------------------------------------------------------------------
@@ -313,13 +441,19 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
-DECODABLE_MIMES = {"image/bmp", "image/png", "image/jpeg", "audio/wav"}
+DECODABLE_MIMES = {"image/bmp", "image/png", "image/jpeg", "audio/wav",
+                   "audio/adpcm"}
 
 _IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
     "image/jpeg": decode_jpeg,
 }
+
+# both route through decode_wav (the RIFF container dispatches on the
+# fmt tag); the distinct mime lets a catalog label the codec and the
+# transcode verb pick a target
+_AUDIO_MIMES = {"audio/wav", "audio/adpcm"}
 
 
 def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
@@ -337,7 +471,7 @@ def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
                 for b in np.array_split(row_band, 8, axis=1)
             ]
             return [float(x) for x in (blocks[:dim] if dim < 64 else blocks)]
-        if mime == "audio/wav":
+        if mime in _AUDIO_MIMES:
             samples, _ = decode_wav(payload)
             env = [np.abs(w.astype(np.float64)).mean() / 32768.0 if len(w) else 0.0
                    for w in np.array_split(samples, max(dim, 1))]
@@ -411,7 +545,7 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
                 try:
                     if mime in _IMAGE_DECODERS and p is not None:
                         ph = image_average_hash(_IMAGE_DECODERS[mime](p))
-                    elif mime == "audio/wav" and p is not None:
+                    elif mime in _AUDIO_MIMES and p is not None:
                         ph = audio_envelope_hash(decode_wav(p)[0])
                     elif strict:
                         raise NotImplementedError(
@@ -450,6 +584,12 @@ def transcode_media(
     undecodable rows are dropped under ``strict=False`` (raise under
     strict).
 
+    Audio targets work the same way: ``audio/wav`` (PCM16) and
+    ``audio/adpcm`` (IMA ADPCM, fmt 0x11) re-encode the decoded sample
+    stream — ADPCM is lossy (4-bit) by nature, but the energy-envelope
+    hash is designed to survive its quantization noise, so PCM↔ADPCM
+    cross-codec dedup rides the same machinery as the image formats.
+
     Runs in ``mapInPandas``: payload bytes stay in Arrow batches, one
     decode+encode per row, no driver involvement."""
     encoders = {
@@ -457,9 +597,17 @@ def transcode_media(
         "image/bmp": encode_bmp,
         "image/jpeg": lambda img: encode_jpeg(img, quality=jpeg_quality),
     }
-    if to_mime not in encoders:
-        raise ValueError(f"transcode target {to_mime!r}; supported: {sorted(encoders)}")
-    encode = encoders[to_mime]
+    audio_encoders = {
+        "audio/wav": encode_wav,
+        "audio/adpcm": encode_adpcm_wav,
+    }
+    if to_mime not in encoders and to_mime not in audio_encoders:
+        raise ValueError(
+            f"transcode target {to_mime!r}; supported: "
+            f"{sorted(encoders) + sorted(audio_encoders)}"
+        )
+    audio_target = to_mime in audio_encoders
+    encode = audio_encoders[to_mime] if audio_target else encoders[to_mime]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -469,9 +617,22 @@ def transcode_media(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["mime"]
             ):
                 try:
-                    if mime not in _IMAGE_DECODERS or p is None:
-                        raise NotImplementedError(f"cannot transcode mime {mime!r}")
-                    img = _IMAGE_DECODERS[mime](bytes(p))
+                    if audio_target:
+                        if mime not in _AUDIO_MIMES or p is None:
+                            raise NotImplementedError(
+                                f"cannot transcode mime {mime!r} to {to_mime!r}"
+                            )
+                        samples, rate = decode_wav(bytes(p))
+                        payload = encode(samples, rate)
+                        w = h = None
+                        dur = int(len(samples) * 1000 // max(rate, 1))
+                    else:
+                        if mime not in _IMAGE_DECODERS or p is None:
+                            raise NotImplementedError(f"cannot transcode mime {mime!r}")
+                        img = _IMAGE_DECODERS[mime](bytes(p))
+                        payload = encode(img)
+                        w, h = img.shape[1], img.shape[0]
+                        dur = None
                 except _DECODE_ERRORS:
                     if strict:
                         raise
@@ -481,11 +642,11 @@ def transcode_media(
                 # 'b1' — would silently collide in the output catalog)
                 out["media_id"].append(id_prefix + mid)
                 out["kind"].append(kind)
-                out["payload"].append(encode(img))
+                out["payload"].append(payload)
                 out["mime"].append(to_mime)
-                out["width"].append(img.shape[1])
-                out["height"].append(img.shape[0])
-                out["duration_ms"].append(None)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
             yield pd.DataFrame(out)
 
     return media.select(

@@ -581,6 +581,51 @@ def test_cross_format_phash_and_transcode(spark):
         assert ph == by_id["m" + mid[len("qpm"):]]
 
 
+def test_adpcm_roundtrip_and_cross_codec_dedup(spark):
+    """IMA ADPCM: encode/decode round-trips within quantization noise,
+    the energy-envelope hash survives the lossy transcode exactly, and
+    the distributed PCM→ADPCM transcode + phash_dup_pairs path pairs
+    every original with its transcode and nothing else."""
+    import numpy as np
+
+    from deduplicator_go_spark.fixtures import media as fx
+
+    # codec round-trip on a smooth signal: bounded quantization noise
+    t = np.arange(8000)
+    sig = (9000 * np.sin(2 * np.pi * t / 160)).astype(np.int16)
+    enc = multimodal.encode_adpcm_wav(sig, rate=8000)
+    dec, rate = multimodal.decode_wav(enc)
+    assert rate == 8000 and len(dec) == len(sig)
+    err = np.abs(dec.astype(np.int64) - sig.astype(np.int64))
+    assert err.mean() < 100 and len(enc) < len(sig)  # lossy-small + compressed
+
+    # corrupt/truncated ADPCM payload stays inside the non-strict
+    # NULL-row contract (no uncovered exception class)
+    try:
+        multimodal.decode_wav(enc[:40] + b"\x00" * 8)
+        raise AssertionError("corrupt ADPCM payload decoded")
+    except multimodal._DECODE_ERRORS:
+        pass
+
+    ids = spark.range(0, 48).withColumnRenamed("id", "doc_id").filter(
+        (F.col("doc_id") % 8).isin(3, 7)
+    )
+    media = fx.synthetic_media(ids)  # audio/wav PCM rows
+    adp = multimodal.transcode_media(media, to_mime="audio/adpcm", id_prefix="a")
+    adp_rows = adp.collect()
+    assert len(adp_rows) == 12 and all(r["mime"] == "audio/adpcm" for r in adp_rows)
+    # 4-bit vs 16-bit: payloads must actually be compressed
+    pcm_sizes = {r["media_id"]: len(r["payload"]) for r in media.collect()}
+    for r in adp_rows:
+        assert len(r["payload"]) < pcm_sizes[r["media_id"][1:]] / 3
+
+    pairs = multimodal.phash_dup_pairs(media.unionByName(adp), max_hamming=3).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    want = {("a" + f"m{i:08d}", f"m{i:08d}") for i in range(48) if i % 8 in (3, 7)}
+    assert got == want
+    assert all(r["hamming"] == 0 and r["kind"] == "audio" for r in pairs)
+
+
 def test_media_stats_and_exact_dups(media):
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 2, "audio": 1, "video": 1}
