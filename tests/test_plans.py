@@ -136,3 +136,32 @@ def test_verify_estimate_materialized_once(spark):
     # the estimate (zip_with over sig arrays) was computed before the
     # checkpoint; it must not appear in the consuming plan at all
     assert "zip_with" not in plan, plan[:2000]
+
+
+def test_anchor_udf_evaluates_once_above_exchange(spark):
+    """The anchor stage's winnowing UDF must appear EXACTLY ONCE in the
+    physical plan, above the repartition Exchange. With a plain
+    explode, Catalyst's InferFiltersFromGenerate derives
+    `size(anchors(text)) > 0` and pushes it below the exchange — the
+    UDF then evaluates twice, the first time at scan-partition
+    parallelism (2 tasks on a tick frontier: the whole winnowing pass
+    ran serialized, round-5 plan audit)."""
+    from deduplicator_go_spark.operators.suffix import anchor_table
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", "x" * 600) for i in range(8)], "url string, text string"
+    )
+    out = anchor_table(docs, k=64, mod=16)
+    plan = plan_str(out)
+    import re
+
+    # formatted plans name each node once in the tree and once in the
+    # detail section — count detail entries "(N) ArrowEvalPython"
+    udf_ids = [int(m.group(1))
+               for m in re.finditer(r"\((\d+)\) ArrowEvalPython", plan)]
+    exch_ids = [int(m.group(1))
+                for m in re.finditer(r"\((\d+)\) Exchange", plan)]
+    assert len(udf_ids) == 1, plan[:3000]
+    # and it sits above the exchange (formatted plans number leaves
+    # first, so above == larger node id)
+    assert exch_ids and udf_ids[0] > max(exch_ids), plan[:3000]
