@@ -665,6 +665,28 @@ def _q_media_audio_cross_codec_dups(spark, sf_dir):
     return multimodal.phash_dup_pairs(media.unionByName(adp), max_hamming=3)
 
 
+def _q_media_video_dups(spark, sf_dir):
+    """Video near-dup detection on REAL decoded frames: per doc_id the
+    view holds a clean raw-DIB AVI clip ('v' id) and a noisy re-render
+    ('w' id, ±2 pixel levels per frame) — both encoded/decoded by the
+    engine's zero-dependency AVI codec. The frame-sampled mean-frame
+    average-hash is noise-invariant by construction (block means 0 vs
+    ~191 vs a ~95 threshold; ±2/√6 mean-frame noise cannot cross), so
+    the truth set is exactly one (v, w) pair per id at hamming 0 —
+    which the oracle pins; distinct ids are independent 64-bit patterns
+    (collision odds ~2e-15/pair), verified collision-free on this
+    data."""
+    from deduplicator_go_spark.fixtures.media import synthetic_video
+    from deduplicator_go_spark.operators import multimodal
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 8).isin(2, 6))
+    )
+    return multimodal.phash_dup_pairs(synthetic_video(ids), max_hamming=3)
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k neighbors (seeded coarse quantizer +
     n_probe cells) over the planted-truth view — VALUE-checked
@@ -970,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dups": _q_media_phash_dups,
         "media_cross_format_dups": _q_media_cross_format_dups,
         "media_audio_cross_codec_dups": _q_media_audio_cross_codec_dups,
+        "media_video_dups": _q_media_video_dups,
         "latest_versions": _q_latest_versions,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
@@ -1454,6 +1477,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS hamming
             FROM documents
             WHERE doc_id % 8 IN (3, 7)
+        """,
+        # Video near-dup truth: one (v, w) clean/noisy pair per selected
+        # doc_id at hamming 0 (frame-sampled mean-frame average hash is
+        # noise-invariant by construction), orientation 'v' < 'w'.
+        "media_video_dups": """
+            SELECT 'v' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
+                   'w' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+                   'video' AS kind,
+                   CAST(0 AS INT) AS hamming
+            FROM documents
+            WHERE doc_id % 8 IN (2, 6)
         """,
         # Semver compare: the sortable key mirrors functions/versions.py
         # exactly — zero-padded numeric segments, '|' (0x7C) for

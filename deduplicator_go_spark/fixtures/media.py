@@ -23,9 +23,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..operators.multimodal import MEDIA_SCHEMA, encode_bmp, encode_wav
+from ..operators.multimodal import MEDIA_SCHEMA, encode_avi, encode_bmp, encode_wav
 
 IMG_SIDE = 32  # 8x8 pattern blocks upscaled 4x
+VIDEO_FRAMES = 6
 
 
 def media_kind(i: int) -> str:
@@ -65,6 +66,46 @@ def synth_audio(content_id: int, noise_seed: int | None = None,
             -50, 51, samples.shape
         )
     return encode_wav(np.clip(samples, -32768, 32767).astype(np.int16), rate)
+
+
+def synth_video(content_id: int, noise_seed: int | None = None,
+                n_frames: int = VIDEO_FRAMES, fps: int = 10) -> bytes:
+    """A brightness-ramped clip over one high-contrast 8x8 pattern:
+    frame f renders the pattern at 50%..100% brightness, so the clip
+    has real inter-frame structure while its SAMPLED MEAN frame keeps
+    block means at 0 or ~191 — far from the video average-hash's
+    global-mean threshold, so per-frame ±2 noise can never flip a bit
+    (same margin argument as synth_image)."""
+    rng = np.random.default_rng(content_id)
+    pattern = rng.integers(0, 2, (8, 8)).astype(np.float64) * 255
+    base = np.kron(pattern, np.ones((4, 4)))
+    ramp = np.linspace(0.5, 1.0, n_frames)
+    frames = np.stack([base * b for b in ramp])[..., None].repeat(3, axis=3)
+    if noise_seed is not None:
+        noise = np.random.default_rng(noise_seed).integers(-2, 3, frames.shape)
+        frames = np.clip(frames + noise, 0, 255)
+    return encode_avi(frames.astype(np.uint8), fps=fps)
+
+
+def synthetic_video(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distributed video corpus: per input id, a clean clip ('v' id) and
+    a noisy near-dup variant ('w' id) — the planted truth set is exactly
+    {(v<i>, w<i>)} per id. mime video/avi, kind 'video'."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms"]
+        for pdf in it:
+            rows = []
+            for i in (int(x) for x in pdf[id_col]):
+                dur = VIDEO_FRAMES * 100
+                rows.append((f"v{i:08d}", "video", synth_video(i),
+                             "video/avi", IMG_SIDE, IMG_SIDE, dur))
+                rows.append((f"w{i:08d}", "video", synth_video(i, noise_seed=i + 1),
+                             "video/avi", IMG_SIDE, IMG_SIDE, dur))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ids.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synth_media_row(i: int) -> tuple:

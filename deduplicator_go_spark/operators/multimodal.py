@@ -17,7 +17,11 @@ codec libraries (pure numpy/struct, plus stdlib zlib for PNG):
   format covering >90% of web images);
 - ``audio/wav`` — PCM16 mono WAV;
 - ``audio/adpcm`` — IMA ADPCM mono WAV (RIFF fmt tag 0x11, 4-bit,
-  ~4:1 compressed audio; the standard step-table codec).
+  ~4:1 compressed audio; the standard step-table codec);
+- ``video/avi`` — raw-DIB AVI (uncompressed 24-bit 'DIB ' stream,
+  one '00db' chunk per frame): the video hash is frame-sampled
+  (``video_average_hash``) so all three modalities in the north
+  rule's image/audio/video triple run on REAL decoded content.
 
 Everything else (progressive JPEG, MP3/...) is honestly out of scope
 here: ``strict=True`` raises ``NotImplementedError`` for unsupported
@@ -401,6 +405,106 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return _decode_ima_blocks(payload, body, size, block_align, spb, fact_n), rate
 
 
+def _dib_pack(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed DIB pixel data (bottom-up BGR
+    rows, 4-byte padded) — the frame payload format both BMP bodies and
+    raw-DIB AVI '00db' chunks use."""
+    h, w, _ = img.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return rows.tobytes()
+
+
+def _dib_unpack(buf: bytes, w: int, h: int) -> np.ndarray:
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h)
+    bgr = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1]
+
+
+def _riff_list(tag: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → uncompressed raw-DIB AVI bytes
+    (RIFF 'AVI ', fccHandler 'DIB ', one '00db' chunk per frame)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    frame_bytes = len(_dib_pack(frames[0])) if n else 0
+    avih = b"avih" + struct.pack(
+        "<I14I", 56,
+        1_000_000 // max(fps, 1), frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I", 56
+    ) + b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, max(fps, 1), 0, n, frame_bytes,
+        0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = b"strf" + struct.pack(
+        "<I", 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(
+        b"movi",
+        b"".join(
+            b"00db" + struct.pack("<I", frame_bytes) + _dib_pack(f)
+            for f in frames
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Raw-DIB AVI bytes → (n, h, w, 3) uint8 RGB frames. Only the
+    uncompressed 24-bit 'DIB ' stream this module writes (and any
+    standard raw-video AVI with biCompression=0) is supported;
+    compressed fourccs raise NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h
+        pos = start
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if tag == b"LIST":
+                walk(body + 4, body + size)
+            elif tag == b"strf":
+                (_bisize, bw, bh, _planes, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", payload, body
+                )
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"only 24-bit uncompressed AVI video (bpp={bpp}, "
+                        f"compression={comp:#x})"
+                    )
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame chunk before strf header")
+                frames.append(_dib_unpack(payload[body:body + size], w, h))
+            pos = body + size + (size % 2)
+
+    walk(12, len(payload))
+    if w is None:
+        raise ValueError("AVI missing strf header")
+    if not frames:
+        raise ValueError("AVI has no frames")
+    return np.stack(frames)
+
+
 # ---------------------------------------------------------------------------
 # perceptual hashes over decoded content
 # ---------------------------------------------------------------------------
@@ -433,6 +537,19 @@ def audio_envelope_hash(samples: np.ndarray) -> int:
     return _pack_bits(env > env.mean())
 
 
+def video_average_hash(frames: np.ndarray, max_frames: int = 16) -> int:
+    """Frame-sampled video hash: sample up to ``max_frames`` frames
+    evenly across the clip, average them into one mean frame, then
+    apply the image average-hash. Robust to per-frame noise (the mean
+    divides it by √n) and to re-encodes; NOT order-sensitive — two
+    clips that are frame permutations of each other collide, which is
+    the right default for near-dup detection of re-cut boilerplate."""
+    n = len(frames)
+    idx = np.linspace(0, n - 1, min(n, max_frames)).round().astype(int)
+    mean_frame = frames[idx].astype(np.float64).mean(axis=0)
+    return image_average_hash(mean_frame)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-content embedding: bytes of
     the sha256 digest scaled to [0,1). STUB — replace with a real
@@ -442,7 +559,7 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 DECODABLE_MIMES = {"image/bmp", "image/png", "image/jpeg", "audio/wav",
-                   "audio/adpcm"}
+                   "audio/adpcm", "video/avi"}
 
 _IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
@@ -476,6 +593,11 @@ def _decoded_feature(payload: bytes, mime: str, dim: int) -> list[float] | None:
             env = [np.abs(w.astype(np.float64)).mean() / 32768.0 if len(w) else 0.0
                    for w in np.array_split(samples, max(dim, 1))]
             return [float(x) for x in env]
+        if mime == "video/avi":
+            frames = decode_avi(payload)
+            # frame-sampled: per-frame mean brightness envelope
+            idx = np.linspace(0, len(frames) - 1, max(dim, 1)).round().astype(int)
+            return [float(frames[i].astype(np.float64).mean() / 255.0) for i in idx]
     except _DECODE_ERRORS:
         return None
     return None
@@ -547,6 +669,8 @@ def perceptual_hashes(media: DataFrame, strict: bool = True) -> DataFrame:
                         ph = image_average_hash(_IMAGE_DECODERS[mime](p))
                     elif mime in _AUDIO_MIMES and p is not None:
                         ph = audio_envelope_hash(decode_wav(p)[0])
+                    elif mime == "video/avi" and p is not None:
+                        ph = video_average_hash(decode_avi(p))
                     elif strict:
                         raise NotImplementedError(
                             f"decoding mime {mime!r} requires codec libraries "

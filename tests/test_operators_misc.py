@@ -626,6 +626,41 @@ def test_adpcm_roundtrip_and_cross_codec_dedup(spark):
     assert all(r["hamming"] == 0 and r["kind"] == "audio" for r in pairs)
 
 
+def test_avi_roundtrip_and_video_dedup(spark):
+    """Raw-DIB AVI: encode/decode is pixel-lossless, the frame-sampled
+    video hash survives per-frame noise, and the distributed
+    synthetic_video + phash_dup_pairs path pairs every clean clip with
+    its noisy re-render and nothing else."""
+    import numpy as np
+
+    from deduplicator_go_spark.fixtures import media as fx
+
+    frames = np.random.default_rng(3).integers(0, 256, (4, 20, 33, 3)).astype(np.uint8)
+    enc = multimodal.encode_avi(frames, fps=8)
+    dec = multimodal.decode_avi(enc)
+    assert dec.shape == frames.shape and (dec == frames).all()
+
+    # truncated payload stays inside the non-strict NULL-row contract
+    try:
+        multimodal.decode_avi(enc[:60])
+        raise AssertionError("corrupt AVI payload decoded")
+    except multimodal._DECODE_ERRORS:
+        pass
+
+    ids = spark.range(0, 48).withColumnRenamed("id", "doc_id").filter(
+        (F.col("doc_id") % 8).isin(2, 6)
+    )
+    vids = fx.synthetic_video(ids)
+    rows = vids.collect()
+    assert len(rows) == 24 and all(r["mime"] == "video/avi" for r in rows)
+
+    pairs = multimodal.phash_dup_pairs(vids, max_hamming=3).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    want = {(f"v{i:08d}", f"w{i:08d}") for i in range(48) if i % 8 in (2, 6)}
+    assert got == want
+    assert all(r["hamming"] == 0 and r["kind"] == "video" for r in pairs)
+
+
 def test_media_stats_and_exact_dups(media):
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 2, "audio": 1, "video": 1}
