@@ -687,6 +687,27 @@ def _q_media_video_dups(spark, sf_dir):
     return multimodal.phash_dup_pairs(synthetic_video(ids), max_hamming=3)
 
 
+def _q_media_resized_dups(spark, sf_dir):
+    """Resolution-invariant image dedup: each 32×32 BMP original ('m'
+    id) vs its distributed box-resampled 16×16 thumbnail ('rm' id,
+    `resize_media`). The average-hash is an 8×8 block-mean grid and
+    box resampling preserves block means exactly at integer factors,
+    so the truth set is exactly one (m, rm) pair per id at hamming 0 —
+    which the oracle pins (kind-scoped; same no-planted-structure image
+    subset as the cross-format view)."""
+    from deduplicator_go_spark.fixtures.media import synthetic_media
+    from deduplicator_go_spark.operators import multimodal
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 8).isin(2, 6))
+    )
+    media = synthetic_media(ids)
+    small = multimodal.resize_media(media, 16, 16, id_prefix="r")
+    return multimodal.phash_dup_pairs(media.unionByName(small), max_hamming=3)
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k neighbors (seeded coarse quantizer +
     n_probe cells) over the planted-truth view — VALUE-checked
@@ -993,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_cross_format_dups": _q_media_cross_format_dups,
         "media_audio_cross_codec_dups": _q_media_audio_cross_codec_dups,
         "media_video_dups": _q_media_video_dups,
+        "media_resized_dups": _q_media_resized_dups,
         "latest_versions": _q_latest_versions,
         "mirror_tasks": _q_mirror_tasks,
         "mirror_task_conflicts": _q_mirror_task_conflicts,
@@ -1485,6 +1507,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
                    'w' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
                    'video' AS kind,
+                   CAST(0 AS INT) AS hamming
+            FROM documents
+            WHERE doc_id % 8 IN (2, 6)
+        """,
+        # Resolution-invariant dedup truth: one (m, rm) original ↔
+        # 16×16-thumbnail pair per selected doc_id at hamming 0 (box
+        # resampling preserves the hash's 8×8 block means exactly),
+        # orientation 'm' < 'r'.
+        "media_resized_dups": """
+            SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_a,
+                   'rm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id_b,
+                   'image' AS kind,
                    CAST(0 AS INT) AS hamming
             FROM documents
             WHERE doc_id % 8 IN (2, 6)

@@ -531,6 +531,31 @@ def cmd_media_transcode(args) -> dict:
     }
 
 
+def cmd_media_resize(args) -> dict:
+    """Distributed box-resample of every supported image payload to
+    --width x --height (decode + resize + re-encode in mapInPandas).
+    Block-mean perceptual hashes survive the resample, so thumbnails
+    keep deduping against their originals (media_resized_dups)."""
+    spark = _spark(args)
+    from .operators.multimodal import resize_media
+
+    media, sampled = _maybe_sample(spark.read.parquet(args.input))
+    out = resize_media(
+        media, args.width, args.height, to_mime=args.to_mime,
+        id_prefix=args.id_prefix, strict=args.strict,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {
+        "verb": "media-resize",
+        "width": args.width,
+        "height": args.height,
+        "rows_out": n,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deduplicator_go_spark")
     p.add_argument("--catalog", default="/tmp/dedup-catalog")
@@ -619,6 +644,17 @@ def build_parser() -> argparse.ArgumentParser:
     # fail fast on undecodable payloads instead of hashing them to NULL
     s.add_argument("--strict", action="store_true")
     s.set_defaults(fn=cmd_media_dupes)
+
+    s = sub.add_parser("media-resize")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--width", type=int, required=True)
+    s.add_argument("--height", type=int, required=True)
+    s.add_argument("--to-mime", default="image/bmp",
+                   choices=["image/png", "image/bmp", "image/jpeg"])
+    s.add_argument("--id-prefix", default="r")
+    s.add_argument("--strict", action="store_true")
+    s.set_defaults(fn=cmd_media_resize)
 
     s = sub.add_parser("media-transcode")
     s.add_argument("--input", required=True)

@@ -537,6 +537,90 @@ def audio_envelope_hash(samples: np.ndarray) -> int:
     return _pack_bits(env > env.mean())
 
 
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic box-sampling resize, pure numpy: each output pixel
+    is the mean of its source box (area-average when downscaling —
+    anti-aliased, which is what perceptual hashing wants; degenerates
+    to nearest-neighbor when upscaling). Vectorized via an integral
+    image — one cumsum pass, no per-pixel Python."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"resize target {out_w}x{out_h}")
+    h, w, c = img.shape
+    ii = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    ii[1:, 1:] = img.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    ys = np.floor(np.linspace(0, h, out_h + 1)).astype(int)
+    xs = np.floor(np.linspace(0, w, out_w + 1)).astype(int)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1).clip(max=h)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1).clip(max=w)
+    # upscale can clamp y0+1 past h; fall back to the last source row/col
+    y0 = np.minimum(y0, h - 1)
+    x0 = np.minimum(x0, w - 1)
+    y1 = np.maximum(y1, y0 + 1)
+    x1 = np.maximum(x1, x0 + 1)
+    sums = (
+        ii[y1[:, None], x1[None, :]] - ii[y0[:, None], x1[None, :]]
+        - ii[y1[:, None], x0[None, :]] + ii[y0[:, None], x0[None, :]]
+    )
+    areas = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[..., None]
+    return np.clip(np.rint(sums / areas), 0, 255).astype(np.uint8)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    to_mime: str = "image/bmp",
+    id_prefix: str = "r",
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed image resize: decode each supported image payload,
+    box-resample to (width, height), re-encode as ``to_mime`` — same
+    schema as the input so the output unions back into a media table.
+    Perceptual hashes are block means, which box-resampling preserves,
+    so resized rows keep deduping against their originals
+    (resolution-invariant image dedup). Non-image / undecodable rows
+    are dropped under ``strict=False`` (raise under strict).
+
+    Runs in ``mapInPandas``: payload bytes stay in Arrow batches, one
+    decode+resize+encode per row, no driver involvement."""
+    encoders = {
+        "image/png": encode_png,
+        "image/bmp": encode_bmp,
+        "image/jpeg": encode_jpeg,
+    }
+    if to_mime not in encoders:
+        raise ValueError(f"resize target mime {to_mime!r}; supported: {sorted(encoders)}")
+    encode = encoders[to_mime]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("media_id", "kind", "payload", "mime",
+                                   "width", "height", "duration_ms")}
+            for mid, kind, p, mime in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["mime"]
+            ):
+                try:
+                    if mime not in _IMAGE_DECODERS or p is None:
+                        raise NotImplementedError(f"cannot resize mime {mime!r}")
+                    img = resize_image(_IMAGE_DECODERS[mime](bytes(p)), width, height)
+                except _DECODE_ERRORS:
+                    if strict:
+                        raise
+                    continue
+                out["media_id"].append(id_prefix + mid)
+                out["kind"].append(kind)
+                out["payload"].append(encode(img))
+                out["mime"].append(to_mime)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["duration_ms"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        "media_id", "kind", "payload", "mime", "width", "height", "duration_ms"
+    ).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def video_average_hash(frames: np.ndarray, max_frames: int = 16) -> int:
     """Frame-sampled video hash: sample up to ``max_frames`` frames
     evenly across the clip, average them into one mean frame, then

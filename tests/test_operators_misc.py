@@ -661,6 +661,38 @@ def test_avi_roundtrip_and_video_dedup(spark):
     assert all(r["hamming"] == 0 and r["kind"] == "video" for r in pairs)
 
 
+def test_resize_media_resolution_invariant_dedup(spark):
+    """Box resize: identity resize is exact, integer-factor downscale
+    equals reshape-mean, and the distributed resize_media +
+    phash_dup_pairs path pairs every original with its thumbnail and
+    nothing else (resolution-invariant dedup)."""
+    import numpy as np
+
+    from deduplicator_go_spark.fixtures import media as fx
+
+    img = np.random.default_rng(1).integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert (multimodal.resize_image(img, 32, 32) == img).all()
+    ref = np.rint(
+        img.astype(np.float64).reshape(16, 2, 16, 2, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert (multimodal.resize_image(img, 16, 16) == ref).all()
+    assert multimodal.resize_image(img, 64, 48).shape == (48, 64, 3)
+
+    ids = spark.range(0, 48).withColumnRenamed("id", "doc_id").filter(
+        (F.col("doc_id") % 8).isin(2, 6)
+    )
+    media = fx.synthetic_media(ids)
+    small = multimodal.resize_media(media, 16, 16, id_prefix="r")
+    rows = small.collect()
+    assert len(rows) == 12
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
+
+    pairs = multimodal.phash_dup_pairs(media.unionByName(small), max_hamming=3).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    want = {(f"m{i:08d}", "rm" + f"{i:08d}") for i in range(48) if i % 8 in (2, 6)}
+    assert got == want and all(r["hamming"] == 0 for r in pairs)
+
+
 def test_media_stats_and_exact_dups(media):
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 2, "audio": 1, "video": 1}
