@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deduplicator_go_spark.functions import text as TX
-from deduplicator_go_spark.operators import exact, joins, ngram, similarity
+from deduplicator_go_spark.operators import corpus, exact, joins, ngram, similarity
 from deduplicator_go_spark.operators.components import assign_all, connected_components
 
 TABLES = [
@@ -978,6 +978,44 @@ def _q_props_json(spark, sf_dir):
     )
 
 
+def _q_dup_chunks(spark, sf_dir):
+    """CCNet-style duplicated-paragraph report over the injected-dup
+    view: 8-word chunks appearing in >=2 distinct docs (boilerplate
+    whole-doc dedup can't merge). operators/corpus.duplicated_chunks."""
+    base = _docs_with_dups(spark, sf_dir)
+    return corpus.duplicated_chunks(base, chunk_words=8, min_docs=2)
+
+
+def _q_chunk_dedup_clean(spark, sf_dir):
+    """CCNet-style paragraph dedup: per-doc cleaned text with corpus-
+    duplicated 8-word chunks stripped (min-doc_id keeper retains its
+    copy). operators/corpus.strip_duplicated_chunks."""
+    base = _docs_with_dups(spark, sf_dir)
+    out = corpus.strip_duplicated_chunks(base, chunk_words=8, min_docs=2)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style per-doc repetition features (dup-word fraction,
+    top-bigram fraction). operators/corpus.repetition_signals."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.repetition_signals(docs).withColumnRenamed("id", "doc_id")
+
+
+def _q_benchmark_overlap(spark, sf_dir):
+    """GPT-3 §4-style decontamination: train docs sharing any word
+    5-gram with the held-out benchmark slice (doc_id % 20 == 7 of the
+    base table). Copies of benchmark docs planted by the dup view are
+    guaranteed hits. operators/corpus.benchmark_overlap."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 7)
+    train = _docs_with_dups(spark, sf_dir).filter(
+        ~((F.col("doc_id") % 20 == 7) & (F.col("doc_id") < 1000000))
+    )
+    out = corpus.benchmark_overlap(train, benchmark, n=5)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1007,6 +1045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_popularity": _q_path_popularity,
         "props_json": _q_props_json,
         "bpe_tokens": _q_bpe_tokens,
+        "dup_chunks": _q_dup_chunks,
+        "chunk_dedup_clean": _q_chunk_dedup_clean,
+        "repetition_signals": _q_repetition_signals,
+        "benchmark_overlap": _q_benchmark_overlap,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
         "simhash_recall": _q_simhash_recall,
@@ -1578,5 +1620,117 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, user_id AS top_user, n_events
             FROM ranked WHERE rn = 1
+        """,
+        # Corpus-hygiene operators (operators/corpus.py). Tokenization
+        # mirrors _words(): lower → trim → whitespace-run collapse →
+        # single-space split. Chunks are disjoint 8-word windows
+        # (1-based inclusive list slices in DuckDB == F.slice in Spark).
+        "dup_chunks": f"""
+            WITH base AS ({dup_base}),
+            toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM base
+            ),
+            chunks AS (
+              SELECT doc_id, array_to_string(t[(k*8+1):(k*8+8)], ' ') AS chunk
+              FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS k) kk
+            )
+            SELECT chunk,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM chunks GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "chunk_dedup_clean": f"""
+            WITH base AS ({dup_base}),
+            toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM base
+            ),
+            chunks AS (
+              SELECT doc_id, k AS chunk_idx,
+                     array_to_string(t[(k*8+1):(k*8+8)], ' ') AS chunk
+              FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS k) kk
+            ),
+            viral AS (
+              SELECT chunk, min(doc_id) AS keeper
+              FROM chunks GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flagged AS (
+              SELECT c.doc_id, c.chunk_idx, c.chunk,
+                     (v.chunk IS NULL OR c.doc_id = v.keeper) AS kept
+              FROM chunks c LEFT JOIN viral v ON c.chunk = v.chunk
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE kept), '') AS clean_text,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+                   CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_chunks
+            FROM flagged GROUP BY 1
+        """,
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents
+            ),
+            words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+            ws AS (
+              SELECT doc_id, count(*) AS n_words,
+                     count(DISTINCT word) AS n_distinct
+              FROM words GROUP BY 1
+            ),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+              WHERE len(t) >= 2
+            ),
+            bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+            tb AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM bc GROUP BY 1)
+            SELECT w.doc_id,
+                   CAST(w.n_words AS BIGINT) AS n_words,
+                   round(1.0 - w.n_distinct / w.n_words::DOUBLE, 6) AS dup_word_frac,
+                   round(coalesce(t.top_c / t.n_bigrams::DOUBLE, 0.0), 6) AS top_bigram_frac
+            FROM ws w LEFT JOIN tb t USING (doc_id)
+        """,
+        "benchmark_overlap": f"""
+            WITH base AS ({dup_base}),
+            train AS (
+              SELECT * FROM base
+              WHERE NOT (doc_id % 20 = 7 AND doc_id < 1000000)
+            ),
+            bench AS (SELECT * FROM documents WHERE doc_id % 20 = 7),
+            btoks AS (
+              SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM bench
+            ),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(t[i:(i+4)], ' ') AS gram
+              FROM btoks, LATERAL (SELECT unnest(range(1, len(t)-3)) AS i) ii
+              WHERE len(t) >= 5
+            ),
+            ttoks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM train
+            ),
+            tgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:(i+4)], ' ') AS gram
+              FROM ttoks, LATERAL (SELECT unnest(range(1, len(t)-3)) AS i) ii
+              WHERE len(t) >= 5
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n
+              FROM tgrams SEMI JOIN bgrams USING (gram)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM train) d
+            LEFT JOIN hits h USING (doc_id)
         """,
     }
