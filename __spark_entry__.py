@@ -719,6 +719,22 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(_ann_truth_view(spark, sf_dir), k=3, n_cells=8, n_probe=3)
 
 
+def _q_pq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k (compressed-domain ADC shortlist +
+    exact re-rank) over the planted-truth view — VALUE-checked
+    (membership + rank + cos). Provable, not probabilistic: an exact
+    copy shares its query's coarse cell AND its PQ code, and max-dot
+    encoding makes ADC(q, code(q)) the maximum achievable score for q
+    over all codes, so every sibling must survive the shortlist cut;
+    exact re-rank then puts the three siblings at cos 1.0. See
+    operators/pq.py."""
+    from deduplicator_go_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        _ann_truth_view(spark, sf_dir), k=3, n_cells=8, n_probe=3, shortlist=16
+    )
+
+
 def _q_embedding_lsh_dups(spark, sf_dir):
     """Hyperplane-LSH embedding near-dup pairs over a view with exact
     vector copies injected. VALUE-checked: an exact copy has an
@@ -907,6 +923,12 @@ def _ann_recall_gate(spark, sf_dir, path_name):
         # certifies the exact configuration the scale path uses, not a
         # separately-tuned one
         approx = similarity.lsh_topk(view, k=3, n_bits=None, n_bands=10).select("id_a", "id_b")
+    elif path_name == "pq":
+        from deduplicator_go_spark.operators.pq import ivfpq_topk
+
+        approx = ivfpq_topk(
+            view, k=3, n_cells=8, n_probe=3, shortlist=16
+        ).select("id_a", "id_b")
     else:
         approx = ivf_topk(view, k=3, n_cells=8, n_probe=3).select("id_a", "id_b")
     n_exact = exact.count()
@@ -950,6 +972,14 @@ def _q_ivf_recall(spark, sf_dir):
     """Recall gate for the IVF ANN scale path (recall@3 vs the
     brute-force oracle on the planted-neighbor view; gate = >= 0.95)."""
     return _ann_recall_gate(spark, sf_dir, "ivf")
+
+
+def _q_pq_recall(spark, sf_dir):
+    """Recall gate for the IVF-PQ compressed-domain path (recall@3 vs
+    the brute-force oracle on the jittered planted-neighbor view;
+    gate = >= 0.95) — measures ADC quality on near-but-not-exact
+    neighbors, which the exact-copy truth oracle cannot."""
+    return _ann_recall_gate(spark, sf_dir, "pq")
 
 
 def _q_bpe_tokens(spark, sf_dir):
@@ -1051,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_overlap": _q_benchmark_overlap,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
+        "pq_recall": _q_pq_recall,
         "simhash_recall": _q_simhash_recall,
         "media_phash_dups": _q_media_phash_dups,
         "media_cross_format_dups": _q_media_cross_format_dups,
@@ -1072,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "embedding_lsh_dups": _q_embedding_lsh_dups,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "embedding_topk_ann": _q_embedding_topk_ann,
     }
 
@@ -1453,6 +1485,11 @@ def oracle_sql() -> dict[str, str]:
                    true AS recall_ok
             FROM embeddings
         """,
+        "pq_recall": """
+            SELECT 'pq' AS path, CAST(4 * count(*) AS BIGINT) AS n_queries,
+                   true AS recall_ok
+            FROM embeddings
+        """,
         # SimHash pigeonhole-completeness gate: the Spark side computes
         # the exact Hamming<=3 truth set and asserts the banded
         # candidates cover it (provably true when max_hamming < bands);
@@ -1494,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         # cos 1.0, ranked by ascending neighbor id. Checks membership,
         # rank, and cosine of both approximate paths end-to-end.
         "ivf_topk": _ANN_TRUTH_TOPK_SQL,
+        "pq_topk": _ANN_TRUTH_TOPK_SQL,
         "embedding_topk_ann": _ANN_TRUTH_TOPK_SQL,
         # Multimodal dedup truth: the synthetic corpus plants exactly the
         # pairs (id-4, id) for id % 8 in (4, 5); perceptual hashes must
