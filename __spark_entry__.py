@@ -1046,6 +1046,67 @@ def _q_benchmark_overlap(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def _pii_view(spark, sf_dir):
+    """documents with deterministic planted PII: every 9th doc gains an
+    email + IPv4 tail, every 9th+3 a dashed phone tail — constructed
+    identically in the oracle so detection/redaction value-checks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 9 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII tagging + scrubbing (functions/pii.py) over the planted-PII
+    view: per-doc match counts and the redacted text."""
+    from deduplicator_go_spark.functions import pii
+
+    docs = _pii_view(spark, sf_dir)
+    c = pii.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+        pii.redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def _q_source_mix(spark, sf_dir):
+    """Training-mix weights per source: weight ∝ n_tokens^0.5
+    normalized (operators/corpus.source_mixing_weights)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.source_mixing_weights(docs, alpha=0.5)
+
+
+def _q_token_budget(spark, sf_dir):
+    """Deterministic per-source token-budget downsampling
+    (operators/corpus.token_budget_sample, budget 2000 tokens/source)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.token_budget_sample(docs, budget_tokens=2000)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1079,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_clean": _q_chunk_dedup_clean,
         "repetition_signals": _q_repetition_signals,
         "benchmark_overlap": _q_benchmark_overlap,
+        "pii_redaction": _q_pii_redaction,
+        "source_mix": _q_source_mix,
+        "token_budget": _q_token_budget,
         "lsh_recall": _q_lsh_recall,
         "ivf_recall": _q_ivf_recall,
         "pq_recall": _q_pq_recall,
@@ -1770,5 +1834,64 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM (SELECT DISTINCT doc_id FROM train) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # PII view mirrors _pii_view; patterns are RE2==Java-regex safe
+        "pii_redaction": """
+            WITH v AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 9 = 0 THEN
+                         text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com from 10.0.'
+                              || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       WHEN doc_id % 9 = 3 THEN
+                         text || ' call 555-010-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE text
+                     END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+              CAST(len(regexp_extract_all(text,
+                   '\\+?\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                '\\+?\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS redacted
+            FROM v
+        """,
+        "source_mix": """
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))) AS n_tokens
+              FROM documents GROUP BY 1
+            ),
+            z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM per)
+            SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(pow(n_tokens, 0.5) / z.z, 6) AS weight
+            FROM per, z
+        """,
+        "token_budget": """
+            WITH base AS (
+              SELECT doc_id AS id, source,
+                     CAST(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                     (doc_id * 2654435761) % 4294967296 AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY h, id) AS cum_tokens
+              FROM base
+            )
+            SELECT id AS doc_id, source, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                   (cum_tokens - n_tokens) < 2000 AS kept
+            FROM c
         """,
     }

@@ -216,6 +216,80 @@ def repetition_signals(
     )
 
 
+def source_mixing_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling weights for training-mix construction:
+    weight ∝ n_tokens^alpha, normalized to sum 1 (alpha < 1 upweights
+    small high-quality sources — the standard temperature-style mix,
+    e.g. multilingual sampling in XLM-R §3.1 / GPT-3 table 2.2's
+    non-proportional source weights).
+
+    → (source, n_docs, n_tokens, weight). One partial-aggregated
+    groupBy; the normalizing total joins back from a one-row broadcast
+    (source cardinality is tiny — never a window over the corpus)."""
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words(F.col(text_col)))).alias("n_tokens"),
+    )
+    total = per.agg(
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("__z")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("__z"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-source downsampling to a token budget: docs
+    are ordered by a multiplicative integer hash of their id (Knuth
+    2654435761 — identical arithmetic in Spark and ANSI SQL, unlike
+    xxhash64), and each source keeps docs while its running token
+    total stays within ``budget_tokens``. The greedy prefix rule keeps
+    the doc that CROSSES the budget (so a budget smaller than the
+    first doc still yields one doc per source, and the kept set is a
+    deterministic function of (ids, budget) — resume-stable).
+
+    → (id, source, n_tokens, cum_tokens, kept) for every doc. Window
+    is partitioned by source — per-source state, never a global sort.
+    A skewed source (one source = half the corpus) makes a hot window
+    partition; for that shape pre-bucket by range of the hash and
+    cumulate bucket offsets — documented, not needed at test scale."""
+    from pyspark.sql import Window
+
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)).alias("__h")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        h,
+    )
+    w = Window.partitionBy("source").orderBy("__h", "id")
+    return base.select(
+        "id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).withColumn(
+        "kept",
+        (F.col("cum_tokens") - F.col("n_tokens")) < F.lit(int(budget_tokens)),
+    )
+
+
 def benchmark_overlap(
     train: DataFrame,
     benchmark: DataFrame,
