@@ -17,6 +17,9 @@ Verb parity (reference → here):
   files dedupe-group (files/group_dedup.go)            → dedupe-group
   server       (cmd/server.go:79 HTTP search)          → serve
   (new) full near-dup pipeline                         → pipeline
+  (new) corpus hygiene (chunk dedup / decontamination /
+        PII scrub / token-budget sampling)             → corpus-clean,
+        decontaminate, pii-redact, sample-budget
 
 Every verb reads/writes parquet tables under a --catalog directory via
 the checkpoint catalog, so verbs compose and resume exactly like the
@@ -556,6 +559,105 @@ def cmd_media_resize(args) -> dict:
     }
 
 
+def cmd_corpus_clean(args) -> dict:
+    """CCNet-style chunk (paragraph) dedup over a documents table:
+    strip corpus-duplicated word chunks (min-id keeper retains), write
+    the cleaned table to --output."""
+    spark = _spark(args)
+    from .operators.corpus import strip_duplicated_chunks
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    out = strip_duplicated_chunks(
+        docs, chunk_words=args.chunk_words, min_docs=args.min_docs,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    agg = written.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_removed_chunks").alias("removed"),
+    ).first()
+    return {
+        "verb": "corpus-clean",
+        "docs": agg["docs"],
+        "chunks_removed": int(agg["removed"] or 0),
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_decontaminate(args) -> dict:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with --benchmark; write per-doc overlap counts to --output."""
+    spark = _spark(args)
+    from .operators.corpus import benchmark_overlap
+
+    train, sampled = _maybe_sample(spark.read.parquet(args.input))
+    bench = spark.read.parquet(args.benchmark)
+    out = benchmark_overlap(
+        train, bench, n=args.ngram, id_col=args.id_col, text_col=args.text_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n_bad = written.filter("contaminated").count()
+    return {
+        "verb": "decontaminate",
+        "docs": written.count(),
+        "contaminated": n_bad,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_pii_redact(args) -> dict:
+    """PII scrub: typed-placeholder redaction + per-type counts,
+    written to --output with the original columns preserved."""
+    spark = _spark(args)
+    from .functions.pii import pii_counts, redact_pii
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    c = pii_counts(F.col(args.text_col))
+    out = docs.withColumn("n_emails", c["n_emails"]) \
+        .withColumn("n_ips", c["n_ips"]) \
+        .withColumn("n_phones", c["n_phones"]) \
+        .withColumn(args.text_col, redact_pii(F.col(args.text_col)))
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    agg = written.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("hits"),
+    ).first()
+    return {
+        "verb": "pii-redact",
+        "docs": agg["docs"],
+        "pii_matches": int(agg["hits"] or 0),
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_sample_budget(args) -> dict:
+    """Deterministic per-source token-budget downsampling; writes the
+    kept rows (with cum_tokens lineage) to --output."""
+    spark = _spark(args)
+    from .operators.corpus import token_budget_sample
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    out = token_budget_sample(
+        docs, budget_tokens=args.budget,
+        id_col=args.id_col, source_col=args.source_col, text_col=args.text_col,
+    )
+    out.filter("kept").write.mode("overwrite").parquet(args.output)
+    kept = spark.read.parquet(args.output).count()
+    return {
+        "verb": "sample-budget",
+        "kept_docs": kept,
+        "budget_tokens": args.budget,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deduplicator_go_spark")
     p.add_argument("--catalog", default="/tmp/dedup-catalog")
@@ -666,6 +768,39 @@ def build_parser() -> argparse.ArgumentParser:
     # fail fast on undecodable/non-image payloads instead of dropping them
     s.add_argument("--strict", action="store_true")
     s.set_defaults(fn=cmd_media_transcode)
+
+    s = sub.add_parser("corpus-clean")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--chunk-words", type=int, default=8)
+    s.add_argument("--min-docs", type=int, default=2)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_corpus_clean)
+
+    s = sub.add_parser("decontaminate")
+    s.add_argument("--input", required=True)
+    s.add_argument("--benchmark", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--ngram", type=int, default=8)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_decontaminate)
+
+    s = sub.add_parser("pii-redact")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_pii_redact)
+
+    s = sub.add_parser("sample-budget")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--budget", type=int, required=True)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--source-col", default="source")
+    s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_sample_budget)
 
     s = sub.add_parser("serve")
     s.add_argument("--table", default="catalog")

@@ -268,10 +268,19 @@ def token_budget_sample(
     is partitioned by source — per-source state, never a global sort.
     A skewed source (one source = half the corpus) makes a hot window
     partition; for that shape pre-bucket by range of the hash and
-    cumulate bucket offsets — documented, not needed at test scale."""
-    from pyspark.sql import Window
+    cumulate bucket offsets — documented, not needed at test scale.
 
-    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)).alias("__h")
+    String ids (urls) order by xxhash64 instead — equally
+    deterministic, just not mirrored by the SQL oracle (which uses the
+    numeric-id table)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    id_type = docs.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)).alias("__h")
+    else:
+        h = F.xxhash64(id_col).alias("__h")
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),

@@ -454,3 +454,59 @@ def test_cli_sign_partial_default_version_upgradeable(capsys, tmp_path):
     out = _run(capsys, ["--catalog", cat, "--cores", "8", "hash-upgrade",
                         "--input", p])
     assert out["checked"] == 2 and out["upgraded"] == 2
+
+
+def test_cli_corpus_clean_and_decontaminate(capsys, spark, tmp_path):
+    """corpus-clean strips corpus-duplicated chunks; decontaminate
+    flags docs overlapping the benchmark table."""
+    import pandas as pd
+
+    shared = "alpha beta gamma delta"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " one two three four",
+                 shared + " five six seven eight",
+                 "clean words only nine ten eleven twelve"],
+        "source": ["s1", "s1", "s2"],
+    })
+    p = str(tmp_path / "docs.parquet"); docs.to_parquet(p)
+    outp = str(tmp_path / "clean.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "corpus-clean", "--input", p, "--output", outp,
+                        "--chunk-words", "4"])
+    assert out["docs"] == 3 and out["chunks_removed"] == 1
+    cleaned = {r["id"]: r["clean_text"]
+               for r in spark.read.parquet(outp).collect()}
+    assert cleaned[2] == "five six seven eight"
+
+    bench = pd.DataFrame({"doc_id": [99], "text": [shared + " one two three four"]})
+    bp = str(tmp_path / "bench.parquet"); bench.to_parquet(bp)
+    op2 = str(tmp_path / "decon.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat2"), "--cores", "8",
+                        "decontaminate", "--input", p, "--benchmark", bp,
+                        "--output", op2, "--ngram", "4"])
+    assert out["docs"] == 3 and out["contaminated"] >= 1
+
+
+def test_cli_pii_redact_and_sample_budget(capsys, spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail me at bob@example.org today",
+                 "nothing sensitive in this one at all"],
+        "source": ["s", "s"],
+    })
+    p = str(tmp_path / "docs.parquet"); docs.to_parquet(p)
+    outp = str(tmp_path / "red.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "pii-redact", "--input", p, "--output", outp])
+    assert out["docs"] == 2 and out["pii_matches"] == 1
+    red = {r["doc_id"]: r["text"] for r in spark.read.parquet(outp).collect()}
+    assert red[1] == "mail me at [EMAIL] today"
+
+    op2 = str(tmp_path / "kept.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat2"), "--cores", "8",
+                        "sample-budget", "--input", p, "--output", op2,
+                        "--budget", "6"])
+    assert out["kept_docs"] == 1
