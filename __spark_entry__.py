@@ -614,14 +614,15 @@ def _q_media_cross_format_dups(spark, sf_dir):
     block means put every average-hash bit far from the decision
     boundary, so baseline-JPEG q95 noise cannot flip one). The view is
     the image subset with no planted near-dup structure (doc_id % 8 in
-    (2, 6)) plus a distributed PNG transcode ('pm' ids) and a
-    distributed JPEG transcode ('jm' ids) of each — all three codecs
-    are the engine's own zero-dependency implementations
-    (operators/multimodal.py, operators/jpeg.py). The truth set is
-    exactly the 3-clique {(jm,m), (jm,pm), (m,pm)} per id at hamming 0,
-    which the oracle pins; distinct ids are independent random 64-bit
-    patterns (collision odds ~2e-15/pair), verified collision-free on
-    this data."""
+    (2, 6)) plus distributed PNG ('pm' ids), JPEG ('jm' ids), and GIF
+    ('gm' ids) transcodes of each — all four codecs are the engine's
+    own zero-dependency implementations (operators/multimodal.py,
+    operators/jpeg.py, operators/gif.py; the 2-color synth patterns
+    are palette-exact for GIF). The truth set is exactly the 4-clique
+    {gm,jm,m,pm}×{...} per id at hamming 0 (6 pairs), which the oracle
+    pins; distinct ids are independent random 64-bit patterns
+    (collision odds ~2e-15/pair), verified collision-free on this
+    data."""
     from deduplicator_go_spark.fixtures.media import synthetic_media
     from deduplicator_go_spark.operators import multimodal
 
@@ -633,8 +634,9 @@ def _q_media_cross_format_dups(spark, sf_dir):
     media = synthetic_media(ids)
     png = multimodal.transcode_media(media, to_mime="image/png", id_prefix="p")
     jpg = multimodal.transcode_media(media, to_mime="image/jpeg", id_prefix="j")
+    gif = multimodal.transcode_media(media, to_mime="image/gif", id_prefix="g")
     return multimodal.phash_dup_pairs(
-        media.unionByName(png).unionByName(jpg), max_hamming=3
+        media.unionByName(png).unionByName(jpg).unionByName(gif), max_hamming=3
     )
 
 
@@ -1623,7 +1625,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS nid
               FROM documents WHERE doc_id % 8 IN (2, 6)
             ),
-            pairs(a_pre, b_pre) AS (VALUES ('jm', 'm'), ('jm', 'pm'), ('m', 'pm'))
+            pairs(a_pre, b_pre) AS (VALUES
+              ('gm', 'jm'), ('gm', 'm'), ('gm', 'pm'),
+              ('jm', 'm'), ('jm', 'pm'), ('m', 'pm'))
             SELECT a_pre || nid AS media_id_a,
                    b_pre || nid AS media_id_b,
                    'image' AS kind,

@@ -763,7 +763,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output", required=True)
     s.add_argument("--to-mime", default="image/png",
                    choices=["image/png", "image/bmp", "image/jpeg",
-                            "audio/wav", "audio/adpcm"])
+                            "image/gif", "audio/wav", "audio/adpcm"])
     s.add_argument("--id-prefix", default="p")
     # fail fast on undecodable/non-image payloads instead of dropping them
     s.add_argument("--strict", action="store_true")

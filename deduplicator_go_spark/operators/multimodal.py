@@ -54,6 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .gif import decode_gif, encode_gif  # noqa: F401  (codec registry)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec registry)
 
 MEDIA_SCHEMA = (
@@ -642,13 +643,14 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
-DECODABLE_MIMES = {"image/bmp", "image/png", "image/jpeg", "audio/wav",
-                   "audio/adpcm", "video/avi"}
+DECODABLE_MIMES = {"image/bmp", "image/png", "image/jpeg", "image/gif",
+                   "audio/wav", "audio/adpcm", "video/avi"}
 
 _IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
     "image/jpeg": decode_jpeg,
+    "image/gif": decode_gif,
 }
 
 # both route through decode_wav (the RIFF container dispatches on the
@@ -804,6 +806,10 @@ def transcode_media(
         "image/png": encode_png,
         "image/bmp": encode_bmp,
         "image/jpeg": lambda img: encode_jpeg(img, quality=jpeg_quality),
+        # palette format: lossless for <=256-color content, raises
+        # beyond (routed to drop/raise by the strict flag like any
+        # other undecodable/unencodable row)
+        "image/gif": encode_gif,
     }
     audio_encoders = {
         "audio/wav": encode_wav,
