@@ -165,3 +165,58 @@ def test_anchor_udf_evaluates_once_above_exchange(spark):
     # and it sits above the exchange (formatted plans number leaves
     # first, so above == larger node id)
     assert exch_ids and udf_ids[0] > max(exch_ids), plan[:3000]
+
+
+def test_benchmark_overlap_broadcasts_bench_grams(spark, sf_dir):
+    """The decontamination join must broadcast the BENCHMARK gram set
+    (fixed-size eval suite); the train side must never shuffle by gram."""
+    from deduplicator_go_spark.operators.corpus import benchmark_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    train = docs.filter(F.col("doc_id") % 20 != 7)
+    p = plan_str(benchmark_overlap(train, bench, n=5))
+    assert "BroadcastHashJoin" in p
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    """PII tagging/scrubbing is pure map-stage column algebra — zero
+    exchanges, single codegen stage."""
+    from deduplicator_go_spark.functions import pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = pii.pii_counts(F.col("text"))
+    q = docs.select(
+        "doc_id", c["n_emails"].alias("e"),
+        pii.redact_pii(F.col("text")).alias("r"),
+    )
+    p = plan_str(q)
+    assert "Exchange" not in p
+    assert "codegen id" in p
+
+
+def test_token_budget_single_exchange_no_global_sort(spark, sf_dir):
+    """Budget sampling shuffles once (by source, for the window) and
+    never global-sorts the corpus."""
+    from deduplicator_go_spark.operators.corpus import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import re
+
+    p = plan_str(token_budget_sample(docs, budget_tokens=1000))
+    # one hash-partitioned exchange for the window; no range exchange
+    # (a global sort would show rangepartitioning)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(source" in p
+    assert "rangepartitioning" not in p
+
+
+def test_duplicated_chunks_partial_aggregation(spark, sf_dir):
+    """Chunk counting must partial-aggregate map-side so a viral chunk
+    is one grouped key, never a pair explosion."""
+    from deduplicator_go_spark.operators.corpus import duplicated_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_str(duplicated_chunks(docs))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_count" in p
