@@ -440,8 +440,10 @@ def test_media_phash_dedup_finds_planted_pairs(spark):
 
 def test_perceptual_hash_strict_raises_on_unsupported(media):
     # whichever partition errors first: the unsupported-mime raise or
-    # the malformed-payload ValueError (the fixture has both)
-    with pytest.raises(Exception, match="codec libraries|not a WAV"):
+    # a malformed-payload ValueError (the fixture has fake PNG, fake
+    # WAV, and an unsupported-mime row — task scheduling picks the
+    # winner)
+    with pytest.raises(Exception, match="codec libraries|not a WAV|not a PNG"):
         multimodal.perceptual_hashes(media, strict=True).collect()
     # non-strict: undecodable rows come back with NULL phash
     rows = multimodal.perceptual_hashes(media, strict=False).collect()
