@@ -58,6 +58,31 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows as a native streaming aggregation
+    (`F.session_window`): a user's session extends while events arrive
+    within ``gap`` of the last one; the watermark closes sessions and
+    bounds state. The streaming twin of the batch ``sessionize`` query
+    (lag-threshold windows) — session_window works identically on a
+    batch DataFrame, which the equivalence test exploits."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = "n_events long, total_value double, session_start_us long"
 SESSION_OUT_SCHEMA = "user_id long, n_events long, total_value double, session_start timestamp"
 
