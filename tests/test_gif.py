@@ -69,3 +69,32 @@ def test_gif_cross_format_phash(spark):
     assert originals
     for mid in originals:
         assert hashes[mid] == hashes["g" + mid]
+
+
+# ---------------------------------------------------------------------------
+# property-based LZW round-trips (pure Python, no Spark session)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+from deduplicator_go_spark.operators.gif import _lzw_decode, _lzw_encode
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_any_stream(data, mcs):
+    # indices must fit the initial code table
+    capped = bytes(b % (1 << mcs) for b in data)
+    assert bytes(_lzw_decode(_lzw_encode(capped, mcs), mcs)) == capped
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_roundtrip_random_small_images(seed):
+    rng = np.random.default_rng(seed)
+    colors = int(rng.integers(1, 257))
+    h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+    img = _palette_img(rng, (h, w), colors)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
