@@ -754,6 +754,41 @@ def _q_embedding_lsh_dups(spark, sf_dir):
     return embedding_dup_pairs(emb.unionByName(copies), threshold=0.999)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster embeddings, then within-cluster cosine dedup
+    keeping the member farthest from its centroid) over a planted view:
+    base vectors ∪ one exact copy (vec_id+10^6) ∪ one ×2-scaled copy
+    (vec_id+2·10^6). VALUE-checked: cosine is scale-invariant and ×2
+    scaling is exact in IEEE doubles (power-of-two scaling commutes
+    with rounding), so all three family members get bit-identical
+    normalized vectors — same cell, same rounded centroid cosine,
+    pairwise cos 1.0 ≥ τ=0.9, while isotropic non-family pairs stay
+    ≤ ~0.52. The keeper order (centroid_cos ASC, id ASC) therefore
+    keeps exactly the base row of each family and marks both copies
+    dup_of=base. Deterministic anchor centroids (the 8 lowest-id
+    vectors, operators/semantic.py:anchors_from_lowest_ids) make the
+    whole assignment mirrorable in ANSI SQL; the production path swaps
+    in seeded Lloyd centroids (semantic_dedup(centroids=None))."""
+    from deduplicator_go_spark.operators.semantic import (
+        anchors_from_lowest_ids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    view = emb.unionByName(
+        emb.select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding")
+    ).unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    anchors = anchors_from_lowest_ids(view, n_cells=8)
+    return semantic_dedup(view, tau=0.9, centroids=anchors)
+
+
 def _mirror_catalog_view(spark, sf_dir):
     """Deterministic mirror-group catalog over the injected-dup docs:
     member = source share, relpath = docs/<doc_id % 9973>, hash =
@@ -1168,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # appear), value-checked without xxhash64 in SQL
         "simhash_candidates": _q_simhash_candidates,
         "embedding_lsh_dups": _q_embedding_lsh_dups,
+        "semantic_dedup": _q_semantic_dedup,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "embedding_topk_ann": _q_embedding_topk_ann,
@@ -1598,6 +1634,58 @@ def oracle_sql() -> dict[str, str]:
         # rank, and cosine of both approximate paths end-to-end.
         "ivf_topk": _ANN_TRUTH_TOPK_SQL,
         "pq_topk": _ANN_TRUTH_TOPK_SQL,
+        # SemDeDup mirror: same planted family view (base ∪ exact copy ∪
+        # ×2-scaled copy), same anchor centroids (8 lowest ids), same
+        # rounded-cosine assignment/threshold/keeper order as
+        # operators/semantic.py — every comparison happens on round(·, 6)
+        # values so a last-ulp engine difference cannot flip a decision
+        "semantic_dedup": """
+            WITH fam AS (
+              SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings
+              UNION ALL
+              SELECT CAST(vec_id + 1000000 AS BIGINT), embedding::DOUBLE[]
+              FROM embeddings
+              UNION ALL
+              SELECT CAST(vec_id + 2000000 AS BIGINT),
+                     list_transform(embedding::DOUBLE[], x -> x * 2.0)
+              FROM embeddings
+            ),
+            anchors AS (
+              SELECT id, vec,
+                     CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell
+              FROM fam ORDER BY id LIMIT 8
+            ),
+            sims AS (
+              SELECT f.id, f.vec, a.cell,
+                     round(list_cosine_similarity(f.vec, a.vec), 6) AS rcos
+              FROM fam f CROSS JOIN anchors a
+            ),
+            assigned AS (
+              SELECT id, vec, cell, rcos AS ccos FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY id ORDER BY rcos DESC, cell ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ),
+            dominated AS (
+              SELECT a.id AS id_a, b.id AS id_b, b.ccos AS ccos_b
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.id <> b.id
+              WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.9
+                AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.id < a.id))
+            ),
+            dup AS (
+              SELECT id_a AS id, id_b AS dup_of FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY id_a ORDER BY ccos_b ASC, id_b ASC) AS rn
+                FROM dominated
+              ) WHERE rn = 1
+            )
+            SELECT s.id AS vec_id, s.cell, s.ccos AS centroid_cos,
+                   (d.dup_of IS NULL) AS kept, d.dup_of AS dup_of
+            FROM assigned s LEFT JOIN dup d ON s.id = d.id
+        """,
         "embedding_topk_ann": _ANN_TRUTH_TOPK_SQL,
         # Multimodal dedup truth: the synthetic corpus plants exactly the
         # pairs (id-4, id) for id % 8 in (4, 5); perceptual hashes must
