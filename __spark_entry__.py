@@ -789,6 +789,78 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(view, tau=0.9, centroids=anchors)
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Directed n-gram containment (asymmetric Jaccard, Broder 1997)
+    over documents ∪ planted excerpts: every doc with doc_id % 11 == 3
+    gets a snippet twin (doc_id + 3·10^6) holding its first
+    ceil(0.4·n_words) words. Every n-gram of a word-prefix is an
+    n-gram of the full text, so the snippet's gram set is a strict
+    subset of the base's — containment(snippet → base) is exactly 1.0
+    (the df cap drops grams from both sides of the subset relation
+    equally), while the reverse direction scores ~0.4 and symmetric
+    Jaccard stays low: the excerpt case symmetric dedup misses by
+    construction. The prefix length uses integer arithmetic
+    ((2·n+4) DIV 5 = ceil(0.4·n)) and scores are exact integer ratios,
+    so the DuckDB mirror is bit-equal. Mutual dup families (the
+    corpus's exact copies) surface in both directions at containment
+    1.0 — also mirrored."""
+    from deduplicator_go_spark.operators.containment import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.floor((F.lit(2) * F.size(toks) + F.lit(4)) / F.lit(5)).cast("int")
+    snips = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, k)).alias("text"),
+    )
+    return ngram_containment_pairs(
+        docs.unionByName(snips), n=3, threshold=0.9,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def _q_recrawl_dedup(spark, sf_dir):
+    """Latest-crawl-wins re-crawl dedup over a deterministically
+    planted crawl log: every document becomes one crawl row whose raw
+    url carries the noise canonicalization must defeat — uppercase
+    scheme+host on even doc_ids, utm/ref tracking params in two
+    different orders on doc_id%3∈{0,1}, a trailing slash on %3==2,
+    a #fragment on %7==0 — while the canonical key collapses to
+    (source, doc_id%50 page, doc_id%5 id-param). Crawl timestamp is
+    epoch+doc_id (unique, so the keeper is provably the max-doc_id
+    member of each canonical group). The DuckDB oracle rebuilds the
+    same view and mirrors functions/url.py:canonical_url step for
+    step (constant-replacement regex, split_part, list_filter +
+    list_sort) — pure string algebra, no float anywhere."""
+    from deduplicator_go_spark.operators.recrawl import latest_crawl_dedup
+
+    d = F.col("doc_id")
+    s = F.col("source")
+    scheme_host = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("HTTPS://"), F.upper(s), F.lit(".EXAMPLE.COM")),
+    ).otherwise(F.concat(F.lit("https://"), s, F.lit(".example.com")))
+    q = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), (d % 5).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 5).cast("string"), F.lit("&utm_campaign=x&ref=home")))
+        .otherwise(F.lit("/"))
+    )
+    view = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                scheme_host,
+                F.lit("/page/"),
+                (d % 50).cast("string"),
+                q,
+                F.when(d % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+            ).alias("url"),
+            (F.lit(1735689600) + d).alias("crawl_ts"),
+        )
+    )
+    return latest_crawl_dedup(view, url_col="url", ts_col="crawl_ts")
+
+
 def _mirror_catalog_view(spark, sf_dir):
     """Deterministic mirror-group catalog over the injected-dup docs:
     member = source share, relpath = docs/<doc_id % 9973>, hash =
@@ -1204,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "embedding_lsh_dups": _q_embedding_lsh_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "containment_pairs": _q_containment_pairs,
+        "recrawl_dedup": _q_recrawl_dedup,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "embedding_topk_ann": _q_embedding_topk_ann,
@@ -1685,6 +1759,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.id AS vec_id, s.cell, s.ccos AS centroid_cos,
                    (d.dup_of IS NULL) AS kept, d.dup_of AS dup_of
             FROM assigned s LEFT JOIN dup d ON s.id = d.id
+        """,
+        # Directed containment mirror: same planted-excerpt view (40%
+        # word prefix via integer ceil arithmetic), same tokenizer and
+        # df-capped gram universe as the green ngram_pairs oracle, with
+        # a directed (<>) intersection and containment = n_common/na
+        "containment_pairs": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 3000000 AS BIGINT),
+                     array_to_string(list_slice(t, 1, (2 * len(t) + 4) // 5), ' ')
+              FROM (
+                SELECT doc_id,
+                       string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+                FROM documents WHERE doc_id % 11 = 3
+              )
+            ),
+            toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM base
+            ),
+            all_grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) ii
+              WHERE len(t) >= 3
+            ),
+            hot AS (
+              SELECT gram FROM all_grams GROUP BY 1 HAVING count(*) > 256
+            ),
+            grams AS (
+              SELECT g.doc_id, g.gram FROM all_grams g
+              ANTI JOIN hot h ON g.gram = h.gram
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common, sa.n_grams AS na, sb.n_grams AS nb,
+                   round(n_common / sa.n_grams::DOUBLE, 6) AS containment,
+                   round(n_common / (sa.n_grams + sb.n_grams - n_common)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / sa.n_grams::DOUBLE >= 0.9
+        """,
+        # Re-crawl dedup mirror: rebuild the identical planted crawl
+        # log, then canonicalize step-for-step with
+        # functions/url.py:canonical_url (fragment strip → scheme+host
+        # lowercase via extract-lower-reconcat → tracking-param filter +
+        # sort → trailing-slash strip) and pick the latest crawl per
+        # canonical key
+        "recrawl_dedup": """
+            WITH crawls AS (
+              SELECT CASE WHEN doc_id % 2 = 0
+                          THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM'
+                          ELSE 'https://' || source || '.example.com' END
+                     || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                             WHEN doc_id % 3 = 1
+                             THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x&ref=home'
+                             ELSE '/' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url,
+                     CAST(1735689600 + doc_id AS BIGINT) AS crawl_ts
+              FROM documents
+            ),
+            step1 AS (
+              SELECT url, crawl_ts,
+                     regexp_replace(url, '#.*$', '') AS x0
+              FROM crawls
+            ),
+            step2 AS (
+              SELECT url, crawl_ts,
+                     lower(regexp_extract(x0, '^[A-Za-z]+://[^/]+'))
+                       || substr(x0, length(regexp_extract(x0, '^[A-Za-z]+://[^/]+')) + 1) AS x1
+              FROM step1
+            ),
+            step3 AS (
+              SELECT url, crawl_ts, x1,
+                     regexp_replace(split_part(x1, '?', 1), '/$', '') AS pre,
+                     CASE WHEN length(x1) > length(split_part(x1, '?', 1))
+                          THEN substr(x1, length(split_part(x1, '?', 1)) + 2) END AS query
+              FROM step2
+            ),
+            canon AS (
+              SELECT url, crawl_ts,
+                     CASE WHEN query IS NOT NULL AND len(kept) > 0
+                          THEN pre || '?' || array_to_string(kept, '&')
+                          ELSE pre END AS canonical_url
+              FROM (
+                SELECT *,
+                       list_sort(list_filter(
+                         string_split(query, '&'),
+                         p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=')
+                       )) AS kept
+                FROM step3
+              )
+            )
+            SELECT canonical_url, keeper_url, keeper_ts, n_crawls FROM (
+              SELECT canonical_url, url AS keeper_url, crawl_ts AS keeper_ts,
+                     row_number() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY crawl_ts DESC, url DESC) AS rn,
+                     count(*) OVER (PARTITION BY canonical_url) AS n_crawls
+              FROM canon
+            ) WHERE rn = 1
         """,
         "embedding_topk_ann": _ANN_TRUTH_TOPK_SQL,
         # Multimodal dedup truth: the synthetic corpus plants exactly the

@@ -636,6 +636,32 @@ def cmd_pii_redact(args) -> dict:
     }
 
 
+def cmd_recrawl_dedup(args) -> dict:
+    """Canonical-URL re-crawl dedup: keep the newest capture per
+    canonical url (tracking params / case / fragment / trailing-slash
+    noise collapsed), write keepers to --output (and superseded rows
+    to --losers if given)."""
+    spark = _spark(args)
+    from .operators.recrawl import latest_crawl_dedup, recrawl_losers
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    keep = latest_crawl_dedup(docs, url_col=args.url_col, ts_col=args.ts_col)
+    keep.write.mode("overwrite").parquet(args.output)
+    n_keep = spark.read.parquet(args.output).count()
+    n_losers = None
+    if args.losers:
+        lose = recrawl_losers(docs, url_col=args.url_col, ts_col=args.ts_col)
+        lose.write.mode("overwrite").parquet(args.losers)
+        n_losers = spark.read.parquet(args.losers).count()
+    return {
+        "verb": "recrawl-dedup",
+        "canonical_pages": n_keep,
+        "superseded_crawls": n_losers,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def cmd_sample_budget(args) -> dict:
     """Deterministic per-source token-budget downsampling; writes the
     kept rows (with cum_tokens lineage) to --output."""
@@ -792,6 +818,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output", required=True)
     s.add_argument("--text-col", default="text")
     s.set_defaults(fn=cmd_pii_redact)
+
+    s = sub.add_parser("recrawl-dedup")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--losers", default=None)
+    s.add_argument("--url-col", default="url")
+    s.add_argument("--ts-col", default="warc_ts")
+    s.set_defaults(fn=cmd_recrawl_dedup)
 
     s = sub.add_parser("sample-budget")
     s.add_argument("--input", required=True)

@@ -38,6 +38,46 @@ def url_normalize(url: Column) -> Column:
     )
 
 
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup canonical form — the key under which re-crawls of
+    the same page collapse:
+
+    1. strip ``#fragment``;
+    2. lowercase ``scheme://host`` (path case preserved);
+    3. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``, ``ref``, ``mc_cid``, ``mc_eid``) and sort the
+       survivors so param order never splits a group;
+    4. strip a trailing slash from the pre-query part.
+
+    Built ONLY from operations with exact ANSI-SQL twins (split_part /
+    list_filter / list_sort / constant-replacement regex), so the
+    re-crawl dedup oracle mirrors it verbatim — notably the
+    scheme+host lowercasing avoids a computed regexp replacement
+    (Spark allows a Column replacement, standard SQL does not):
+    extract the prefix, lowercase it, re-concat the remainder."""
+    x = F.regexp_replace(url, r"#.*$", "")
+    schemehost = F.regexp_extract(x, r"^[A-Za-z]+://[^/]+", 0)
+    x = F.concat(
+        F.lower(schemehost),
+        F.substring(x, F.length(schemehost) + 1, F.length(x)),
+    )
+    pre = F.regexp_replace(F.substring_index(x, "?", 1), r"/$", "")
+    query = F.when(
+        F.length(x) > F.length(F.substring_index(x, "?", 1)),
+        F.substring(x, F.length(F.substring_index(x, "?", 1)) + 2, F.length(x)),
+    )
+    kept = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: ~p.rlike(TRACKING_PARAM_RE))
+    )
+    return F.when(
+        query.isNotNull() & (F.size(kept) > 0),
+        F.concat(pre, F.lit("?"), F.concat_ws("&", kept)),
+    ).otherwise(pre)
+
+
 def relative_to_prefix(url: Column, prefix) -> Column:
     """Strip a prefix (archiveRelativePath analog); null if not under it.
 
