@@ -137,6 +137,10 @@ def verify_pairs(
     # is one pass over sigs; AQE broadcasts the endpoint list when its
     # runtime size allows.
     s = sigs.select("url", "sig").join(pair_endpoints(pairs), "url", "left_semi")
+    # the pruned signature slice feeds BOTH attach joins; unpinned, each
+    # join's exchange re-runs the semi-join — two extra passes over the
+    # full standing signature table per call (per tick, on the pipeline)
+    s = s.localCheckpoint(eager=True)
     # Both the clear and borderline branches consume this estimate
     # table; without pinning it, the union plan re-runs the two sig
     # joins (the whole signature table shuffled twice more) per branch.

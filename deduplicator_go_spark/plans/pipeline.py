@@ -598,11 +598,20 @@ class DedupPipeline:
                     cands = self._bucket_diff_pairs(
                         "anchor_rows", anchors, sub_seen, "substr_pairs"
                     )
+                # pin the (url_a, url_b) pair keys: the prune + LCS-verify
+                # chain below consumes them through pair_endpoints (x2),
+                # two attach joins, and an anti-join — and AQE runs its
+                # broadcast-exchange subqueries for those consumers in
+                # parallel threads, each RE-DERIVING the whole bucket-diff
+                # self-join + dropDuplicates otherwise (profiled: four
+                # concurrent ~10 s jobs, half the tick wall at 100k docs)
+                cands = cands.select("url_a", "url_b").localCheckpoint(eager=True)
                 cands = prune_substr_candidates(
-                    cands.select("url_a", "url_b"),
+                    cands,
                     exclude_pairs=self._read("verified_pairs").filter("is_dup"),
                     sigs=self._read("exact_sigs"),
-                )
+                ).localCheckpoint(eager=True)  # same multi-consumer rule:
+                # feeds pair_endpoints (x2) + the text-attach join
                 docs_long = valid.filter(F.length("text") >= c.substr_min_len)
                 return verify_substr_pairs(cands, docs_long, c.substr_min_len).filter(
                     "has_block"
