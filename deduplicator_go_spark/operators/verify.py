@@ -43,6 +43,12 @@ def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     texts = docs.select("url", "text").join(
         pair_endpoints(pairs), "url", "left_semi"
     )
+    # both attach joins consume this subtree; unpinned, each re-runs the
+    # standing-docs scan + semi-join (two full corpus passes per call).
+    # The pinned size is ∝ distinct pair endpoints (never the corpus),
+    # and localCheckpoint spills MEMORY_AND_DISK, so one materialized
+    # endpoint-text table is strictly less IO than the second scan.
+    texts = texts.localCheckpoint(eager=True)
     return (
         pairs.join(texts.withColumnsRenamed({"url": "url_a", "text": "text_a"}), "url_a")
         .join(texts.withColumnsRenamed({"url": "url_b", "text": "text_b"}), "url_b")
