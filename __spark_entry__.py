@@ -861,6 +861,84 @@ def _q_recrawl_dedup(spark, sf_dir):
     return latest_crawl_dedup(view, url_col="url", ts_col="crawl_ts")
 
 
+def _q_host_spam(spark, sf_dir):
+    """Host-level spam/mirror detection (operators/hosts.py — the
+    CCNet/RefinedWeb drop-whole-hosts sieve; host-scoped dup groups are
+    the reference's files/hash.go host filters at webtext scope). Every
+    document is planted onto host h<doc_id%40>.example.com; a page is a
+    dup if its exact sha256 appears on >= 2 pages corpus-wide, and a
+    host is spam once >= 3 pages and half of them are dups. All stats
+    are integer counts or round(·,6) ratios — the DuckDB mirror cannot
+    disagree."""
+    from deduplicator_go_spark.operators.hosts import host_stats, spam_hosts
+
+    d = F.col("doc_id")
+    view = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://h"), (d % 40).cast("string"),
+            F.lit(".example.com/d/"), d.cast("string"),
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    stats = host_stats(view)
+    spam = spam_hosts(stats).select("host", "is_spam")
+    return stats.join(spam, "host", "left").select(
+        "host", "n_pages", "n_dup_pages", "dup_share", "avg_len", "n_langs",
+        F.coalesce("is_spam", F.lit(False)).alias("is_spam"),
+    )
+
+
+def _q_bloom_seen(spark, sf_dir):
+    """Distributed-Bloom membership pin (operators/bloom.py): build the
+    sharded (word, bits) bitset over every planted url, probe the same
+    set — a Bloom filter has NO false negatives (deterministic xxhash64
+    positions), so might_contain is provably TRUE for every member and
+    the DuckDB mirror is a constant. The bitset never touches the
+    driver (the reason df.stat.bloomFilter is the wrong shape at 10^12
+    keys)."""
+    from deduplicator_go_spark.operators.bloom import (
+        bloom_build, bloom_probe, optimal_k,
+    )
+
+    urls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    )
+    n = urls.count()
+    m_bits = max(64, 16 * n)
+    k = optimal_k(m_bits, n)
+    bloom = bloom_build(urls, "url", m_bits, k)
+    return bloom_probe(urls, bloom, "url", m_bits, k).select(
+        "url", "might_contain"
+    )
+
+
+def _q_bloom_new_gate(spark, sf_dir):
+    """Crawl-frontier filter gate: seen = even doc_ids, probe = all.
+    definitely_new must drop EVERY seen url (no false negatives — an
+    exact invariant) and keep >= 90% of the unseen half (textbook FP
+    rate ~5e-4 at 16 bits/key; 0.9 is > 100 sd of slack). Both facts
+    are engine-provable, so the oracle is the constant row (0, TRUE)
+    with the probe population count."""
+    from deduplicator_go_spark.operators.bloom import definitely_new
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 2 == 0).alias("is_seen"),
+    )
+    seen = urls.filter("is_seen").select("url")
+    kept = definitely_new(urls, seen, "url")
+    n_odd = urls.filter(~F.col("is_seen")).count()
+    return kept.agg(
+        F.sum(F.col("is_seen").cast("long")).alias("n_seen_leaked"),
+        (F.count("*") >= F.lit(int(0.9 * n_odd))).alias("new_kept_ok"),
+    ).select(
+        F.coalesce("n_seen_leaked", F.lit(0)).alias("n_seen_leaked"),
+        "new_kept_ok",
+    )
+
+
 def _mirror_catalog_view(spark, sf_dir):
     """Deterministic mirror-group catalog over the injected-dup docs:
     member = source share, relpath = docs/<doc_id % 9973>, hash =
@@ -1278,6 +1356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "containment_pairs": _q_containment_pairs,
         "recrawl_dedup": _q_recrawl_dedup,
+        "host_spam": _q_host_spam,
+        "bloom_seen": _q_bloom_seen,
+        "bloom_new_gate": _q_bloom_new_gate,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "embedding_topk_ann": _q_embedding_topk_ann,
@@ -1868,6 +1949,42 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY canonical_url) AS n_crawls
               FROM canon
             ) WHERE rn = 1
+        """,
+        # Host-spam mirror: same planted host assignment, same global
+        # sha256 dup rule, same integer/round(·,6) stats and spam flag
+        "host_spam": """
+            WITH base AS (
+              SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+                     sha256(text) AS sha, length(text) AS len, lang
+              FROM documents
+            ),
+            shac AS (SELECT sha, count(*) AS sha_n FROM base GROUP BY 1)
+            SELECT host,
+                   count(*) AS n_pages,
+                   sum(CASE WHEN sha_n >= 2 THEN 1 ELSE 0 END) AS n_dup_pages,
+                   round(sum(CASE WHEN sha_n >= 2 THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS dup_share,
+                   round(avg(len), 6) AS avg_len,
+                   count(DISTINCT lang) AS n_langs,
+                   (count(*) >= 3 AND
+                    round(sum(CASE WHEN sha_n >= 2 THEN 1 ELSE 0 END)
+                          / count(*)::DOUBLE, 6) >= 0.5) AS is_spam
+            FROM base JOIN shac USING (sha)
+            GROUP BY host
+        """,
+        # Bloom membership pin: no false negatives is an exact property
+        # of the filter (deterministic positions), so every inserted
+        # url probes TRUE — the mirror is the constant
+        "bloom_seen": """
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   TRUE AS might_contain
+            FROM documents
+        """,
+        # Frontier-filter gate: zero seen urls may survive
+        # definitely_new (FN-free), and >= 90% of the unseen half must
+        # (FP rate ~5e-4 at 16 bits/key) — both engine-provable
+        "bloom_new_gate": """
+            SELECT CAST(0 AS BIGINT) AS n_seen_leaked, TRUE AS new_kept_ok
         """,
         "embedding_topk_ann": _ANN_TRUTH_TOPK_SQL,
         # Multimodal dedup truth: the synthetic corpus plants exactly the

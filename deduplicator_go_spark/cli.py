@@ -662,6 +662,56 @@ def cmd_recrawl_dedup(args) -> dict:
     }
 
 
+def cmd_host_spam(args) -> dict:
+    """Host-level spam/mirror sieve: per-host dup-share stats; writes
+    the flagged host table to --output (every host, is_spam column)."""
+    spark = _spark(args)
+    from .operators.hosts import host_stats, spam_hosts
+    from pyspark.sql import functions as F
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    stats = host_stats(
+        docs, url_col=args.url_col, text_col=args.text_col,
+        lang_col=args.lang_col if args.lang_col != "none" else None,
+    )
+    spam = spam_hosts(stats, args.dup_share_min, args.min_pages).select(
+        "host", "is_spam"
+    )
+    out = stats.join(spam, "host", "left").withColumn(
+        "is_spam", F.coalesce("is_spam", F.lit(False))
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    return {
+        "verb": "host-spam",
+        "hosts": written.count(),
+        "spam_hosts": written.filter("is_spam").count(),
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_bloom_new(args) -> dict:
+    """Crawl-frontier filter: rows of --input whose key is definitely
+    absent from --seen (distributed Bloom; no false negatives, FPs
+    only defer genuinely-new rows to the exact path)."""
+    spark = _spark(args)
+    from .operators.bloom import definitely_new
+
+    probe, sampled = _maybe_sample(spark.read.parquet(args.input))
+    seen = spark.read.parquet(args.seen)
+    new = definitely_new(probe, seen, args.key_col,
+                         bits_per_key=args.bits_per_key)
+    new.write.mode("overwrite").parquet(args.output)
+    return {
+        "verb": "bloom-new",
+        "definitely_new": spark.read.parquet(args.output).count(),
+        "probed": probe.count(),
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def cmd_sample_budget(args) -> dict:
     """Deterministic per-source token-budget downsampling; writes the
     kept rows (with cum_tokens lineage) to --output."""
@@ -826,6 +876,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--url-col", default="url")
     s.add_argument("--ts-col", default="warc_ts")
     s.set_defaults(fn=cmd_recrawl_dedup)
+
+    s = sub.add_parser("host-spam")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--url-col", default="url")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--lang-col", default="lang")
+    s.add_argument("--dup-share-min", type=float, default=0.5)
+    s.add_argument("--min-pages", type=int, default=3)
+    s.set_defaults(fn=cmd_host_spam)
+
+    s = sub.add_parser("bloom-new")
+    s.add_argument("--input", required=True)
+    s.add_argument("--seen", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--key-col", default="url")
+    s.add_argument("--bits-per-key", type=int, default=16)
+    s.set_defaults(fn=cmd_bloom_new)
 
     s = sub.add_parser("sample-budget")
     s.add_argument("--input", required=True)
