@@ -939,6 +939,97 @@ def _q_bloom_new_gate(spark, sf_dir):
     )
 
 
+def _exactsubstr_view(spark, sf_dir):
+    """Planted ExactSubstr truth: every doc_id % 9 == 4 yields a pair
+    sharing EXACTLY one >= 250-char block. B is the doc's 250-char
+    prefix with w/z translated away and q-padded, so the winner's
+    w-tail and the loser's z-tail can extend no common substring past
+    B — the LCS is provably B itself at offsets (0, 0). Tail lengths
+    vary per doc so the rewrite isn't one constant."""
+    d = F.col("doc_id")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(d % 9 == 4)
+        .select(
+            d.alias("doc_id"),
+            F.rpad(
+                F.translate(F.substring("text", 1, 250), "wWzZ", "aAbB"),
+                250, "q",
+            ).alias("B"),
+        )
+    )
+    winners = base.select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.col("B"), F.repeat(F.lit("w"), (F.lit(20) + F.col("doc_id") % 10).cast("int"))
+        ).alias("text"),
+    )
+    losers = base.select(
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.col("B"), F.repeat(F.lit("z"), (F.lit(25) + F.col("doc_id") % 7).cast("int"))
+        ).alias("text"),
+    )
+    pairs = base.select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("url_a"),
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("url_b"),
+    )
+    return winners.unionByName(losers), pairs
+
+
+def _q_quality_keeper(spark, sf_dir):
+    """Quality-weighted canonical selection (operators/keepers.py):
+    planted near-dup families (family = doc_id % 97) whose members
+    carry graded junk tails (repeat('!', (doc_id%5)*20)) — junk lowers
+    alpha_ratio, so the keeper is provably the member with the least
+    junk, ties to the smallest doc_id. Quality is round(·,6) of the
+    same alpha_ratio formula the green quality_features oracle pins."""
+    from deduplicator_go_spark.functions.text import quality_features
+    from deduplicator_go_spark.operators.keepers import quality_keeper
+
+    d = F.col("doc_id")
+    view = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("doc_id"),
+        (d % 97).alias("family"),
+        F.concat(
+            F.col("text"), F.repeat(F.lit("!"), ((d % 5) * 20).cast("int"))
+        ).alias("text"),
+    )
+    q = quality_features(F.col("text"))
+    scored = view.select(
+        "family", "doc_id", F.round(q["alpha_ratio"], 6).alias("quality")
+    )
+    return quality_keeper(
+        scored, cluster_col="family", id_col="doc_id", quality_col="quality"
+    )
+
+
+def _q_exactsubstr_blocks(spark, sf_dir):
+    """Shared-block extraction (operators/exactsubstr.py — Lee et al.
+    2022 ExactSubstr): longest-common-substring length AND offsets per
+    pair, smallest-offset deterministic. On the planted view the block
+    is provably the 250-char B at (0, 0)."""
+    from deduplicator_go_spark.operators.exactsubstr import shared_blocks
+
+    docs, pairs = _exactsubstr_view(spark, sf_dir)
+    return shared_blocks(pairs, docs, min_len=200)
+
+
+def _q_exactsubstr_strip(spark, sf_dir):
+    """Span surgery: the lexicographically smaller url keeps the block,
+    the loser is rewritten with the span cut out (unique remainder
+    kept — the ExactSubstr insight: drop the span, not the document).
+    Provable outputs: winners untouched, losers reduced to their
+    z-tail with exactly 250 chars removed."""
+    from deduplicator_go_spark.operators.exactsubstr import (
+        shared_blocks, strip_shared_blocks,
+    )
+
+    docs, pairs = _exactsubstr_view(spark, sf_dir)
+    blocks = shared_blocks(pairs, docs, min_len=200)
+    return strip_shared_blocks(docs, blocks)
+
+
 def _mirror_catalog_view(spark, sf_dir):
     """Deterministic mirror-group catalog over the injected-dup docs:
     member = source share, relpath = docs/<doc_id % 9973>, hash =
@@ -1359,6 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_spam": _q_host_spam,
         "bloom_seen": _q_bloom_seen,
         "bloom_new_gate": _q_bloom_new_gate,
+        "exactsubstr_blocks": _q_exactsubstr_blocks,
+        "exactsubstr_strip": _q_exactsubstr_strip,
+        "quality_keeper": _q_quality_keeper,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "embedding_topk_ann": _q_embedding_topk_ann,
@@ -1971,6 +2065,63 @@ def oracle_sql() -> dict[str, str]:
                           / count(*)::DOUBLE, 6) >= 0.5) AS is_spam
             FROM base JOIN shac USING (sha)
             GROUP BY host
+        """,
+        # Quality-weighted keeper mirror: same planted families and junk
+        # tails, same round(·,6) alpha_ratio (pinned by the green
+        # quality_features oracle), same desc-quality/asc-id window
+        "quality_keeper": """
+            WITH fam AS (
+              SELECT doc_id % 97 AS family, doc_id,
+                     text || repeat('!', CAST((doc_id % 5) * 20 AS INT)) AS text
+              FROM documents
+            ),
+            scored AS (
+              SELECT family, doc_id,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)::DOUBLE, 6) AS quality
+              FROM fam
+            )
+            SELECT family, keeper_id, keeper_quality, n_members FROM (
+              SELECT family, doc_id AS keeper_id, quality AS keeper_quality,
+                     row_number() OVER (
+                       PARTITION BY family
+                       ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY family) AS n_members
+              FROM scored
+            ) WHERE rn = 1
+        """,
+        # ExactSubstr planted truth: the shared block is provably the
+        # 250-char translated/padded prefix B at offsets (0, 0) — the
+        # w/z tails share no alphabet with B or each other, so no
+        # common substring can extend past it
+        "exactsubstr_blocks": """
+            SELECT 'a' || CAST(doc_id AS VARCHAR) AS url_a,
+                   'b' || CAST(doc_id AS VARCHAR) AS url_b,
+                   CAST(250 AS BIGINT) AS block_len,
+                   CAST(0 AS BIGINT) AS off_a,
+                   CAST(0 AS BIGINT) AS off_b
+            FROM documents WHERE doc_id % 9 = 4
+        """,
+        # Span surgery mirror: winner rows carry B || w-tail untouched,
+        # loser rows are reduced to their z-tail with exactly the
+        # 250 block chars removed
+        "exactsubstr_strip": """
+            WITH base AS (
+              SELECT doc_id,
+                     rpad(translate(substr(text, 1, 250), 'wWzZ', 'aAbB'),
+                          250, 'q') AS B
+              FROM documents WHERE doc_id % 9 = 4
+            )
+            SELECT 'a' || CAST(doc_id AS VARCHAR) AS url,
+                   B || repeat('w', CAST(20 + doc_id % 10 AS INT)) AS text,
+                   CAST(0 AS BIGINT) AS n_blocks_removed,
+                   CAST(0 AS BIGINT) AS chars_removed
+            FROM base
+            UNION ALL
+            SELECT 'b' || CAST(doc_id AS VARCHAR),
+                   repeat('z', CAST(25 + doc_id % 7 AS INT)),
+                   CAST(1 AS BIGINT), CAST(250 AS BIGINT)
+            FROM base
         """,
         # Bloom membership pin: no false negatives is an exact property
         # of the filter (deterministic positions), so every inserted

@@ -712,6 +712,32 @@ def cmd_bloom_new(args) -> dict:
     }
 
 
+def cmd_exactsubstr_strip(args) -> dict:
+    """ExactSubstr span surgery (Lee et al. 2022): find >= --min-len
+    shared blocks via the anchor-blocked substring pass, then rewrite
+    losers with the span removed (winners keep the block)."""
+    spark = _spark(args)
+    from .operators.exactsubstr import shared_blocks, strip_shared_blocks
+    from .operators.suffix import substr_pairs
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    docs = docs.select(F.col(args.url_col).alias("url"),
+                       F.col(args.text_col).alias("text"))
+    pairs = substr_pairs(docs, min_len=args.min_len).select("url_a", "url_b")
+    blocks = shared_blocks(pairs, docs, min_len=args.min_len)
+    out = strip_shared_blocks(docs, blocks)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    return {
+        "verb": "exactsubstr-strip",
+        "docs": written.count(),
+        "docs_rewritten": written.filter("n_blocks_removed > 0").count(),
+        "chars_removed": written.agg(F.sum("chars_removed")).collect()[0][0],
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def cmd_sample_budget(args) -> dict:
     """Deterministic per-source token-budget downsampling; writes the
     kept rows (with cum_tokens lineage) to --output."""
@@ -876,6 +902,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--url-col", default="url")
     s.add_argument("--ts-col", default="warc_ts")
     s.set_defaults(fn=cmd_recrawl_dedup)
+
+    s = sub.add_parser("exactsubstr-strip")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--url-col", default="url")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--min-len", type=int, default=512)
+    s.set_defaults(fn=cmd_exactsubstr_strip)
 
     s = sub.add_parser("host-spam")
     s.add_argument("--input", required=True)
