@@ -939,6 +939,94 @@ def _q_bloom_new_gate(spark, sf_dir):
     )
 
 
+def _lines_view(spark, sf_dir):
+    """Three-line web pages over the documents table: a per-doc unique
+    head, a nav line shared by the doc_id%13 family, and a footer
+    shared by every page. The oracle runs the SAME line-dedup
+    algorithm in SQL, so the view needs no planted truth — only
+    determinism (newlines translated out of the salad snippet so the
+    line split is identical on both engines)."""
+    d = F.col("doc_id")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("d"), d.cast("string")).alias("url"),
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("u"), d.cast("string"), F.lit(" "),
+                F.translate(F.substring("text", 1, 40), "\n", " "),
+            ),
+            F.concat(F.lit("nav "), (d % 13).cast("string")),
+            F.lit("(c) example footer"),
+        ).alias("text"),
+    )
+
+
+def _q_boilerplate_lines(spark, sf_dir):
+    """Boilerplate table (operators/lines.py — CCNet/RefinedWeb line
+    dedup): lines occurring in >= 3 distinct docs. On the 3-line view
+    that is the 13 nav lines plus the footer."""
+    from deduplicator_go_spark.operators.lines import duplicate_lines
+
+    return duplicate_lines(_lines_view(spark, sf_dir), min_docs=3)
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal: every >= 3-doc line cut from ALL
+    documents, unique remainder kept in original order, with
+    n_lines_removed / chars_removed lineage. Full algorithm mirror in
+    the DuckDB oracle (explode -> distinct-doc counts -> anti-mark ->
+    ordered reassembly)."""
+    from deduplicator_go_spark.operators.lines import strip_duplicate_lines
+
+    return strip_duplicate_lines(_lines_view(spark, sf_dir), min_docs=3)
+
+
+def _q_split_assignment(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment
+    (operators/splits.py): split = threshold over md5('u'||doc_id)'s
+    60-bit prefix mod 1e6 — pure column algebra, zero shuffle, exact
+    ANSI-SQL twin (md5 + hex cast)."""
+    from deduplicator_go_spark.operators.splits import assign_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    return assign_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def _q_leakage_guard_split(spark, sf_dir):
+    """Cluster-consistent split (near-dup leakage guard, Lee et al.
+    2022): even doc_ids carry a planted cluster (doc_id % 97) and key
+    their split on it, odd doc_ids fall back to their own id — so a
+    whole near-dup family provably lands in ONE split."""
+    from deduplicator_go_spark.operators.splits import assign_split_by_cluster
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("u"), d.cast("string")).alias("url")
+    )
+    clusters = docs.filter(d % 2 == 0).select(
+        "url", (d % 97).alias("cluster_id")
+    )
+    return assign_split_by_cluster(docs, clusters).select("doc_id", "split")
+
+
+def _q_shard_balance(spark, sf_dir):
+    """Output sharding balance report: stable md5-keyed shard in
+    [0, 16) plus per-shard doc/char totals (the writer's one-row
+    balance alert is an agg over this)."""
+    from deduplicator_go_spark.operators.splits import assign_shards, shard_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    return shard_stats(assign_shards(docs, 16))
+
+
 def _exactsubstr_view(spark, sf_dir):
     """Planted ExactSubstr truth: every doc_id % 9 == 4 yields a pair
     sharing EXACTLY one >= 250-char block. B is the doc's 250-char
@@ -1450,6 +1538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_spam": _q_host_spam,
         "bloom_seen": _q_bloom_seen,
         "bloom_new_gate": _q_bloom_new_gate,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "line_dedup": _q_line_dedup,
+        "split_assignment": _q_split_assignment,
+        "leakage_guard_split": _q_leakage_guard_split,
+        "shard_balance": _q_shard_balance,
         "exactsubstr_blocks": _q_exactsubstr_blocks,
         "exactsubstr_strip": _q_exactsubstr_strip,
         "quality_keeper": _q_quality_keeper,
@@ -2065,6 +2158,101 @@ def oracle_sql() -> dict[str, str]:
                           / count(*)::DOUBLE, 6) >= 0.5) AS is_spam
             FROM base JOIN shac USING (sha)
             GROUP BY host
+        """,
+        # Split/shard mirrors: md5's hex prefix cast to a 60-bit int is
+        # exact in both engines (Spark conv(,16,10) == SQL CAST('0x…'))
+        "split_assignment": """
+            SELECT doc_id,
+                   CASE WHEN bucket < 900000 THEN 'train'
+                        WHEN bucket < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(concat('0x',
+                       substr(md5('u' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 1000000 AS bucket
+              FROM documents
+            )
+        """,
+        "leakage_guard_split": """
+            SELECT doc_id,
+                   CASE WHEN bucket < 980000 THEN 'train'
+                        WHEN bucket < 990000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(
+                       CASE WHEN doc_id % 2 = 0
+                            THEN CAST(doc_id % 97 AS VARCHAR)
+                            ELSE 'u' || CAST(doc_id AS VARCHAR) END
+                     ), 1, 15)) AS BIGINT) % 1000000 AS bucket
+              FROM documents
+            )
+        """,
+        "shard_balance": """
+            SELECT CAST(CAST(concat('0x',
+                     substr(md5('u' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 16 AS INT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        # Line-dedup mirrors: the SAME algorithm in SQL (explode with
+        # positions -> distinct-doc counts -> >=3 filter -> anti-mark
+        # -> ordered reassembly), not a planted constant
+        "boilerplate_lines": """
+            WITH v AS (
+              SELECT 'd' || CAST(doc_id AS VARCHAR) AS url,
+                     'u' || CAST(doc_id AS VARCHAR) || ' ' ||
+                       replace(substr(text, 1, 40), chr(10), ' ') || chr(10) ||
+                     'nav ' || CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+                     '(c) example footer' AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT url,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM v
+            )
+            SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT line, url FROM lines WHERE length(line) >= 1)
+            GROUP BY line HAVING count(*) >= 3
+        """,
+        "line_dedup": """
+            WITH v AS (
+              SELECT 'd' || CAST(doc_id AS VARCHAR) AS url,
+                     'u' || CAST(doc_id AS VARCHAR) || ' ' ||
+                       replace(substr(text, 1, 40), chr(10), ' ') || chr(10) ||
+                     'nav ' || CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+                     '(c) example footer' AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT url,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM v
+            ),
+            dup AS (
+              SELECT line
+              FROM (SELECT DISTINCT line, url FROM lines
+                    WHERE length(line) >= 1)
+              GROUP BY line HAVING count(*) >= 3
+            ),
+            marked AS (
+              SELECT l.url, l.pos, l.line, d.line IS NOT NULL AS is_dup
+              FROM lines l LEFT JOIN dup d USING (line)
+            )
+            SELECT url,
+                   coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT)
+                     AS n_lines_removed,
+                   CAST(coalesce(sum(CASE WHEN is_dup THEN length(line) END),
+                                 0) AS BIGINT) AS chars_removed
+            FROM marked GROUP BY url
         """,
         # Quality-weighted keeper mirror: same planted families and junk
         # tails, same round(·,6) alpha_ratio (pinned by the green

@@ -738,6 +738,88 @@ def cmd_exactsubstr_strip(args) -> dict:
     }
 
 
+def cmd_line_dedup(args) -> dict:
+    """CCNet/RefinedWeb line-level boilerplate removal: lines occurring
+    in >= --min-docs distinct documents (optionally scoped per
+    --scope-col, e.g. host) are cut from every document; each document
+    keeps its unique remainder in original order."""
+    spark = _spark(args)
+    from .operators.lines import strip_duplicate_lines
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    out = strip_duplicate_lines(
+        docs, min_docs=args.min_docs, min_chars=args.min_chars,
+        url_col=args.url_col, text_col=args.text_col,
+        scope_col=args.scope_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    return {
+        "verb": "line-dedup",
+        "docs": written.count(),
+        "docs_rewritten": written.filter("n_lines_removed > 0").count(),
+        "chars_removed": written.agg(F.sum("chars_removed")).collect()[0][0],
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_assign_splits(args) -> dict:
+    """Deterministic train/val/test assignment (md5-keyed, salt
+    re-rollable); with --clusters, keys the split on the dedup cluster
+    so no near-dup family straddles train/eval."""
+    spark = _spark(args)
+    from .operators.splits import assign_split, assign_split_by_cluster
+
+    weights = {}
+    for part in args.weights.split(","):
+        name, frac = part.split("=")
+        weights[name.strip()] = float(frac)
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    if args.clusters:
+        clusters = spark.read.parquet(args.clusters)
+        out = assign_split_by_cluster(
+            docs, clusters, weights, id_col=args.id_col,
+            cluster_col=args.cluster_col, salt=args.salt,
+        )
+    else:
+        out = assign_split(docs, weights, id_col=args.id_col, salt=args.salt)
+    out.write.mode("overwrite").parquet(args.output)
+    counts = {
+        r["split"]: r["count"]
+        for r in spark.read.parquet(args.output).groupBy("split").count().collect()
+    }
+    return {
+        "verb": "assign-splits",
+        "splits": counts,
+        "leakage_guarded": bool(args.clusters),
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_write_sharded(args) -> dict:
+    """Hash-sharded parquet writer: stable md5-keyed shard in
+    [0, n), one whole shard per task, shard=K partition dirs."""
+    spark = _spark(args)
+    from .operators.splits import shard_stats, write_sharded
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    write_sharded(docs, args.output, args.n_shards,
+                  id_col=args.id_col, salt=args.salt)
+    back = spark.read.parquet(args.output)
+    stats = shard_stats(back).collect()
+    n = [r.n_docs for r in stats]
+    return {
+        "verb": "write-sharded",
+        "n_shards": args.n_shards,
+        "docs": sum(n),
+        "balance_max_over_mean": round(max(n) / (sum(n) / len(n)), 3) if n else None,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def cmd_sample_budget(args) -> dict:
     """Deterministic per-source token-budget downsampling; writes the
     kept rows (with cum_tokens lineage) to --output."""
@@ -910,6 +992,34 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--text-col", default="text")
     s.add_argument("--min-len", type=int, default=512)
     s.set_defaults(fn=cmd_exactsubstr_strip)
+
+    s = sub.add_parser("assign-splits")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--weights", default="train=0.98,val=0.01,test=0.01")
+    s.add_argument("--clusters", default=None)
+    s.add_argument("--cluster-col", default="cluster_id")
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--salt", default="")
+    s.set_defaults(fn=cmd_assign_splits)
+
+    s = sub.add_parser("write-sharded")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--n-shards", type=int, default=16)
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--salt", default="")
+    s.set_defaults(fn=cmd_write_sharded)
+
+    s = sub.add_parser("line-dedup")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--url-col", default="url")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--scope-col", default=None)
+    s.add_argument("--min-docs", type=int, default=2)
+    s.add_argument("--min-chars", type=int, default=1)
+    s.set_defaults(fn=cmd_line_dedup)
 
     s = sub.add_parser("host-spam")
     s.add_argument("--input", required=True)

@@ -510,3 +510,38 @@ def test_cli_pii_redact_and_sample_budget(capsys, spark, tmp_path):
                         "sample-budget", "--input", p, "--output", op2,
                         "--budget", "6"])
     assert out["kept_docs"] == 1
+
+
+def test_cli_line_dedup_splits_shards(capsys, spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "url": [f"u{i}" for i in range(8)],
+        "text": [f"unique {i}\nshared footer line" for i in range(8)],
+    })
+    p = str(tmp_path / "docs.parquet"); docs.to_parquet(p)
+
+    outp = str(tmp_path / "clean.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "line-dedup", "--input", p, "--output", outp,
+                        "--min-docs", "3"])
+    assert out["docs"] == 8 and out["docs_rewritten"] == 8
+    cleaned = {r["url"]: r["text"]
+               for r in spark.read.parquet(outp).collect()}
+    assert cleaned["u3"] == "unique 3"
+
+    op2 = str(tmp_path / "split.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat2"), "--cores", "8",
+                        "assign-splits", "--input", p, "--output", op2,
+                        "--weights", "train=0.5,val=0.5"])
+    assert sum(out["splits"].values()) == 8 and not out["leakage_guarded"]
+
+    op3 = str(tmp_path / "sharded")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat3"), "--cores", "8",
+                        "write-sharded", "--input", p, "--output", op3,
+                        "--n-shards", "4"])
+    assert out["docs"] == 8 and out["n_shards"] == 4
+    assert sorted(
+        r["shard"] for r in
+        spark.read.parquet(op3).select("shard").distinct().collect()
+    ) == [0, 1, 2, 3]
