@@ -1473,6 +1473,60 @@ def _q_token_budget(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def _q_crawler_traps(spark, sf_dir):
+    """Crawler-trap detection by URL template (operators/traps.py):
+    digit runs in the path collapse to N, long hex runs to H; a
+    (host, template) family with >= 10 pages over >= 10 distinct
+    paths is a trap. Planted view: doc_id%5==0 rows form a calendar
+    trap /cal/{year}/{month}/day-{doc_id} spread over 8 hosts (every
+    such family collapses to /cal/N/N/day-N with ~12 distinct paths
+    per host); the rest are singleton articles keyed by an md5 slug.
+    Integer counts + string templates only, and the DuckDB oracle
+    applies the SAME two regex replacements (the digit/hex character
+    classes mean the same thing in Java regex and RE2) — full
+    value-level mirror."""
+    from deduplicator_go_spark.operators.traps import trap_templates
+
+    d = F.col("doc_id")
+    path = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("/cal/"), (F.lit(2000) + d % 30).cast("string"),
+            F.lit("/"), (d % 12).cast("string"),
+            F.lit("/day-"), d.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("/article/"), F.substring(F.md5(d.cast("string")), 1, 8))
+    )
+    view = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://h"), (d % 8).cast("string"), F.lit(".example.com"),
+            path,
+        ).alias("url")
+    )
+    return trap_templates(view, min_pages=10, min_distinct_paths=10)
+
+
+def _q_host_cap(spark, sf_dir):
+    """Per-host over-representation cap (operators/hosts.py
+    host_cap_sample): keep <= 20 pages per host by the md5 order key
+    (same engine-portable key as operators/splits.py). The Spark plan
+    is the two-phase distributed top-k (presample slices bound the
+    hot window at n_presample*cap regardless of host skew) and is
+    provably bit-identical to the naive single window the DuckDB
+    oracle runs — membership AND rank are value-checked."""
+    from deduplicator_go_spark.operators.hosts import host_cap_sample
+
+    d = F.col("doc_id")
+    view = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://h"), (d % 4).cast("string"),
+            F.lit(".example.com/d/"), d.cast("string"),
+        ).alias("url")
+    )
+    return host_cap_sample(view, cap=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1549,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "embedding_topk_ann": _q_embedding_topk_ann,
+        "crawler_traps": _q_crawler_traps,
+        "host_cap": _q_host_cap,
     }
 
 
@@ -2326,6 +2382,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_seen_leaked, TRUE AS new_kept_ok
         """,
         "embedding_topk_ann": _ANN_TRUTH_TOPK_SQL,
+        # crawler traps: the SAME planted view and the SAME two regex
+        # replacements (digit/hex character classes are identical in
+        # Java regex and RE2; DuckDB needs the explicit 'g' flag for
+        # replace-all, Spark replaces all by default)
+        "crawler_traps": """
+            WITH pages AS (
+              SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com'
+                       AS host,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN '/cal/' || CAST(2000 + doc_id % 30 AS VARCHAR)
+                               || '/' || CAST(doc_id % 12 AS VARCHAR)
+                               || '/day-' || CAST(doc_id AS VARCHAR)
+                          ELSE '/article/'
+                               || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     END AS path
+              FROM documents
+            ), templated AS (
+              SELECT host, path,
+                     regexp_replace(
+                       regexp_replace(path, '[0-9]+', 'N', 'g'),
+                       '[a-f]{8,}|[a-f0-9]{16,}', 'H', 'g') AS template
+              FROM pages
+            )
+            SELECT host, template,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT path) AS n_distinct_paths,
+                   (COUNT(*) >= 10 AND COUNT(DISTINCT path) >= 10) AS is_trap
+            FROM templated
+            GROUP BY host, template
+        """,
+        # host cap: the naive single-window top-k — the engine's
+        # two-phase presample plan must be bit-identical to it
+        "host_cap": """
+            WITH pages AS (
+              SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+                       AS host,
+                     'https://h' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ), ranked AS (
+              SELECT host, url,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY CAST(concat('0x', substr(md5(url), 1, 15))
+                                     AS BIGINT), url
+                     ) AS sample_rank
+              FROM pages
+            )
+            SELECT host, url, CAST(sample_rank AS INTEGER) AS sample_rank
+            FROM ranked WHERE sample_rank <= 20
+        """,
         # Multimodal dedup truth: the synthetic corpus plants exactly the
         # pairs (id-4, id) for id % 8 in (4, 5); perceptual hashes must
         # match within a planted pair (noise-invariant by design) and

@@ -691,6 +691,60 @@ def cmd_host_spam(args) -> dict:
     }
 
 
+def cmd_trap_scan(args) -> dict:
+    """Crawler-trap scan: group urls by digit/hex-collapsed path
+    template, write the per-(host, template) stats table with the
+    is_trap flag to --output; with --flagged also write every page
+    annotated with its template's verdict."""
+    spark = _spark(args)
+    from .operators.traps import flag_trap_pages, trap_templates
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    traps = trap_templates(
+        docs, url_col=args.url_col,
+        min_pages=args.min_pages, min_distinct_paths=args.min_distinct_paths,
+    )
+    traps.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n_trap_pages = None
+    if args.flagged:
+        pages = flag_trap_pages(docs, written, url_col=args.url_col)
+        pages.write.mode("overwrite").parquet(args.flagged)
+        n_trap_pages = (
+            spark.read.parquet(args.flagged).filter("is_trap").count()
+        )
+    return {
+        "verb": "trap-scan",
+        "templates": written.count(),
+        "trap_templates": written.filter("is_trap").count(),
+        "trap_pages": n_trap_pages,
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
+def cmd_host_cap(args) -> dict:
+    """Per-host over-representation cap: keep at most --cap pages per
+    host by the deterministic md5 key (salt re-rollable); writes the
+    kept (host, url, sample_rank) table to --output."""
+    spark = _spark(args)
+    from .operators.hosts import host_cap_sample
+
+    docs, sampled = _maybe_sample(spark.read.parquet(args.input))
+    kept = host_cap_sample(
+        docs, cap=args.cap, url_col=args.url_col, salt=args.salt,
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    return {
+        "verb": "host-cap",
+        "kept_pages": written.count(),
+        "hosts": written.select("host").distinct().count(),
+        "output": args.output,
+        "sampled": sampled,
+    }
+
+
 def cmd_bloom_new(args) -> dict:
     """Crawl-frontier filter: rows of --input whose key is definitely
     absent from --seen (distributed Bloom; no false negatives, FPs
@@ -1030,6 +1084,23 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--dup-share-min", type=float, default=0.5)
     s.add_argument("--min-pages", type=int, default=3)
     s.set_defaults(fn=cmd_host_spam)
+
+    s = sub.add_parser("trap-scan")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--flagged", default=None)
+    s.add_argument("--url-col", default="url")
+    s.add_argument("--min-pages", type=int, default=100)
+    s.add_argument("--min-distinct-paths", type=int, default=50)
+    s.set_defaults(fn=cmd_trap_scan)
+
+    s = sub.add_parser("host-cap")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--url-col", default="url")
+    s.add_argument("--cap", type=int, required=True)
+    s.add_argument("--salt", default="")
+    s.set_defaults(fn=cmd_host_cap)
 
     s = sub.add_parser("bloom-new")
     s.add_argument("--input", required=True)

@@ -101,3 +101,58 @@ def flag_spam_hosts(
         .join(F.broadcast(spam), "host", "left")
         .withColumn("host_is_spam", F.coalesce("host_is_spam", F.lit(False)))
     )
+
+
+def host_cap_sample(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    salt: str = "",
+    n_presample: int = 64,
+) -> DataFrame:
+    """Per-host over-representation cap: keep at most ``cap`` pages
+    per host, chosen by a deterministic uniform hash — the C4-style
+    guard against a handful of mega-hosts dominating the training
+    mix (forums, wikis, doc mirrors), applied AFTER spam/trap sieves
+    and BEFORE token-budget sampling.
+
+    → (host, url, sample_rank) for kept rows only; rank is 1..cap in
+    key order. Selection is a pure function of (url, salt): stable
+    across reruns, ticks, engines, and cluster sizes, re-rollable by
+    salt (same contract as operators/splits.py, whose md5 key this
+    reuses — exact ANSI-SQL twin, unlike xxhash64).
+
+    Scale shape: a naive ``row_number() over (partition by host)``
+    puts a 10^8-page host in ONE window partition — a straggler by
+    construction. This is the standard two-phase distributed top-k:
+    phase 1 ranks within (host, presample-bucket) — ``n_presample``
+    parallel slices per host — and keeps ``cap`` per slice (every
+    global-top-``cap`` member survives its own slice's cut, so the
+    pre-pass is provably lossless); phase 2 ranks the <= n_presample
+    * cap survivors per host. The hot window shrinks from the host's
+    page count to ``n_presample * cap`` regardless of skew, and the
+    result is bit-identical to the naive single window.
+    """
+    from .splits import split_key
+
+    u = F.col(url_col)
+    key = split_key(u, salt)
+    base = docs.select(
+        host_of(u).alias("host"), u.alias("url"), key.alias("__key")
+    )
+    from pyspark.sql import Window
+
+    slice_col = F.pmod(F.xxhash64("url"), F.lit(n_presample))
+    pre = (
+        base.withColumn("__slice", slice_col)
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("host", "__slice").orderBy("__key", "url")
+        ))
+        .filter(F.col("__rn") <= cap)
+    )
+    w2 = Window.partitionBy("host").orderBy("__key", "url")
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= cap)
+        .select("host", "url", "sample_rank")
+    )

@@ -545,3 +545,30 @@ def test_cli_line_dedup_splits_shards(capsys, spark, tmp_path):
         r["shard"] for r in
         spark.read.parquet(op3).select("shard").distinct().collect()
     ) == [0, 1, 2, 3]
+
+
+def test_cli_trap_scan_and_host_cap(capsys, spark, tmp_path):
+    import pandas as pd
+
+    urls = [f"https://trap.com/cal/{2000 + i % 4}/{i % 12}/d{i}"
+            for i in range(40)]
+    urls += [f"https://site{i}.org/about-us" for i in range(5)]
+    docs = pd.DataFrame({"url": urls})
+    p = str(tmp_path / "docs.parquet"); docs.to_parquet(p)
+
+    outp = str(tmp_path / "traps.parquet")
+    flg = str(tmp_path / "flagged.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat"), "--cores", "8",
+                        "trap-scan", "--input", p, "--output", outp,
+                        "--flagged", flg,
+                        "--min-pages", "10", "--min-distinct-paths", "5"])
+    assert out["trap_templates"] == 1 and out["trap_pages"] == 40
+    assert out["templates"] == 6  # 1 trap family + 5 article singletons
+
+    op2 = str(tmp_path / "capped.parquet")
+    out = _run(capsys, ["--catalog", str(tmp_path / "cat2"), "--cores", "8",
+                        "host-cap", "--input", p, "--output", op2,
+                        "--cap", "12"])
+    assert out["kept_pages"] == 12 + 5 and out["hosts"] == 6
+    kept = spark.read.parquet(op2)
+    assert kept.filter("host = 'trap.com'").count() == 12
