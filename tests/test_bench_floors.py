@@ -21,13 +21,22 @@ def _load_bench(tmp_path, monkeypatch):
     return m
 
 
-def test_tick_floor_cache_merges_minima(tmp_path, monkeypatch):
+def test_tick_floor_cache_merges_minima_per_size(tmp_path, monkeypatch):
     m = _load_bench(tmp_path, monkeypatch)
-    m._merge_tick_floor_cache({"a": 100, "b": 50}, {"a": 30}, 2)
-    c = m._merge_tick_floor_cache({"a": 80, "b": 70}, {"a": 40, "c": 9}, 3)
-    assert c["scratch"] == {"a": 80, "b": 50}
-    assert c["tick"] == {"a": 30, "c": 9}
-    assert c["cycles_total"] == 5 and c["invocations"] == 2
+    m._merge_tick_floor_cache(
+        {100: {"scratch": {"a": 100, "b": 50}, "tick": {"a": 30}, "cycles": 2}}
+    )
+    c = m._merge_tick_floor_cache({
+        100: {"scratch": {"a": 80, "b": 70}, "tick": {"a": 40, "c": 9},
+              "cycles": 3},
+        400: {"scratch": {"a": 300}, "tick": {"a": 33}, "cycles": 1},
+    })
+    s100 = c["sizes"]["100"]
+    assert s100["scratch"] == {"a": 80, "b": 50}
+    assert s100["tick"] == {"a": 30, "c": 9}
+    assert s100["cycles_total"] == 5 and c["invocations"] == 2
+    assert c["sizes"]["400"]["scratch"] == {"a": 300}
+    assert c["sizes"]["400"]["cycles_total"] == 1
     # persisted and reload-compatible
     stored = json.load(open(tmp_path / "tick_floors.json"))
     assert stored == c
@@ -35,12 +44,17 @@ def test_tick_floor_cache_merges_minima(tmp_path, monkeypatch):
 
 def test_tick_floor_cache_resets_on_fingerprint_change(tmp_path, monkeypatch):
     m = _load_bench(tmp_path, monkeypatch)
-    m._merge_tick_floor_cache({"a": 10}, {"a": 5}, 1)
+    m._merge_tick_floor_cache(
+        {100: {"scratch": {"a": 10}, "tick": {"a": 5}, "cycles": 1}}
+    )
     stored = json.load(open(tmp_path / "tick_floors.json"))
     stored["fingerprint"] = "stale"
     json.dump(stored, open(tmp_path / "tick_floors.json", "w"))
-    c = m._merge_tick_floor_cache({"a": 99}, {"a": 77}, 1)
-    assert c["scratch"] == {"a": 99} and c["tick"] == {"a": 77}
+    c = m._merge_tick_floor_cache(
+        {100: {"scratch": {"a": 99}, "tick": {"a": 77}, "cycles": 1}}
+    )
+    assert c["sizes"]["100"]["scratch"] == {"a": 99}
+    assert c["sizes"]["100"]["tick"] == {"a": 77}
     assert c["invocations"] == 1  # reset, not merged
 
 
