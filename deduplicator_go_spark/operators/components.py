@@ -112,14 +112,28 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """
     sess = edges.sparkSession
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # lazy checkpoint + fingerprint: the init is ONE job, same fusion
+    # as the round loop below
+    cur = cur.localCheckpoint(eager=False)
     n0, _ = _fingerprint(cur)
     global_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    global_aqe = sess.conf.get("spark.sql.adaptive.enabled")
     cc_parts = max(4, min(global_parts, n0 // 50_000 + 1))
     prev_fp = None
     with _CC_CONF_LOCK:
         try:
             sess.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+            # AQE off for the round loop: partitions are already sized
+            # from the measured edge count, so adaptivity buys nothing
+            # here — but it costs a LOT: AQE materializes every shuffle
+            # stage as its own job (~5 jobs/round instead of 1), and
+            # each job boundary is a fixed driver-side barrier paid
+            # identically at N and 4N executors (measured: the clusters
+            # stage ran 45 jobs with ~2.9 s of scheduling gap at both
+            # parallelism levels — pure N-vs-4N efficiency tax). Like
+            # the partition count this is a perf-only knob, serialized
+            # behind the same lock.
+            sess.conf.set("spark.sql.adaptive.enabled", "false")
             for _ in range(max_iters):
                 cur = _small_star(_large_star(_symmetrize(cur)))
                 # lazy checkpoint: the fingerprint action below
@@ -132,6 +146,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                 prev_fp = fp
         finally:
             sess.conf.set("spark.sql.shuffle.partitions", str(global_parts))
+            sess.conf.set("spark.sql.adaptive.enabled", global_aqe)
     # converged state is a star forest: src (member) -> dst (root)
     members = cur.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
     roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id")).distinct()

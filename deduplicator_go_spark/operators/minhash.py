@@ -260,3 +260,53 @@ def estimated_jaccard(sig_a, sig_b, num_perm: int):
     (no UDF): fraction of equal components."""
     eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
     return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
+
+
+def packed_sig16(num_perm: int, sig_col: str = "sig"):
+    """array<bigint> column of num_perm/4 longs, each packing four
+    16-bit lanes (xxhash64 of one signature component, low 16 bits).
+
+    The signature-agreement verify tier only tests component EQUALITY,
+    so the full 64-bit minhash values are 4x more bytes than the
+    estimate needs: equal components stay equal under any deterministic
+    lane hash, and a false lane agreement needs a 2^-16 collision —
+    est bias ≤ 2^-16 per position, deterministic, three orders of
+    magnitude inside the tier's 4σ borderline margin (±0.15 at
+    σ≈0.035). Packing 4 lanes per long also quarters the zip_with
+    element count. All codegen — element_at extraction, no fresh
+    arrays per row beyond the 32-long output.
+    """
+    assert num_perm % 4 == 0
+
+    def lane(idx: int):  # 1-based element_at position
+        return F.xxhash64(F.element_at(F.col(sig_col), idx)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    return F.array(
+        *[
+            F.shiftleft(lane(4 * i + 1), 48)
+            .bitwiseOR(F.shiftleft(lane(4 * i + 2), 32))
+            .bitwiseOR(F.shiftleft(lane(4 * i + 3), 16))
+            .bitwiseOR(lane(4 * i + 4))
+            for i in range(num_perm // 4)
+        ]
+    )
+
+
+def estimated_jaccard_packed(sig_a, sig_b, num_perm: int):
+    """estimated_jaccard over packed_sig16 columns: fraction of equal
+    16-bit lanes. XOR the longs; a zero 16-bit lane of the XOR is an
+    agreeing position."""
+    def eq_lanes(x, y):
+        z = x.bitwiseXOR(y)
+        m = F.lit(0xFFFF)
+        return (
+            (z.bitwiseAND(m) == 0).cast("int")
+            + (F.shiftrightunsigned(z, 16).bitwiseAND(m) == 0).cast("int")
+            + (F.shiftrightunsigned(z, 32).bitwiseAND(m) == 0).cast("int")
+            + (F.shiftrightunsigned(z, 48) == 0).cast("int")
+        )
+
+    eq = F.zip_with(sig_a, sig_b, eq_lanes)
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))

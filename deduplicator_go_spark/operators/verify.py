@@ -91,8 +91,17 @@ def verify_pairs(
     sigs: DataFrame | None = None,
     est_margin: float = 0.15,
     num_perm: int | None = None,
+    prune_endpoints: bool = True,
 ) -> DataFrame:
     """→ (url_a, url_b, origin, jaccard, is_dup, verify_tier).
+
+    ``prune_endpoints`` controls the signature-table semi-prune before
+    the attach joins. On an incremental tick the pair frontier touches
+    a sliver of the standing corpus and the prune is essential; on a
+    from-scratch run the pair endpoints ARE roughly the corpus, so the
+    prune is a pure extra pass + materialization barrier — the
+    pipeline passes False there and the attach joins read the
+    column-pruned signature table directly.
 
     Tiered verification when ``sigs`` (url, sig) is provided:
     signature agreement (native zip_with — JVM-side, scales with the
@@ -107,7 +116,7 @@ def verify_pairs(
 
     Without ``sigs``, every pair is exact-verified (tier 'exact').
     """
-    from .minhash import cpu_partitions, estimated_jaccard
+    from .minhash import cpu_partitions, estimated_jaccard, estimated_jaccard_packed
 
     jac = exact_jaccard_udf(shingle_size)
 
@@ -122,11 +131,20 @@ def verify_pairs(
             "verify_tier", F.lit("exact")
         )
 
+    # prefer the compact packed agreement column when the signature
+    # table carries one (the pipeline writes sig16 alongside sig: four
+    # 16-bit lanes per long). Equal components stay equal, a false
+    # agreement is a deterministic 2^-16 lane collision (est bias
+    # ≤ 2^-16, ≪ the tier's 4σ borderline margin), and the two attach
+    # joins below decode/shuffle a QUARTER of the sig bytes — this
+    # stage is bandwidth-bound, not compute-bound.
+    packed = "sig16" in sigs.columns
+    sig_col = "sig16" if packed else "sig"
     if num_perm is None:
         # caller didn't thread the config through — probe the signature
         # table (one tiny extra job). Callers on the hot path (the
         # pipeline) pass num_perm explicitly to avoid this.
-        first = sigs.select("sig").first()
+        first = sigs.select(F.col("sig").alias("sig")).first()
         if first is None:
             # empty signature table → no candidates to verify
             return pairs.select(
@@ -142,20 +160,25 @@ def verify_pairs(
     # pair frontier is a tick's sliver of the corpus. The pruned side
     # is one pass over sigs; AQE broadcasts the endpoint list when its
     # runtime size allows.
-    s = sigs.select("url", "sig").join(pair_endpoints(pairs), "url", "left_semi")
-    # the pruned signature slice feeds BOTH attach joins; unpinned, each
-    # join's exchange re-runs the semi-join — two extra passes over the
-    # full standing signature table per call (per tick, on the pipeline)
-    s = s.localCheckpoint(eager=True)
+    s = sigs.select("url", F.col(sig_col).alias("sig"))
+    if prune_endpoints:
+        s = s.join(pair_endpoints(pairs), "url", "left_semi")
+        # the pruned signature slice feeds BOTH attach joins; unpinned,
+        # each join's exchange re-runs the semi-join — two extra passes
+        # over the full standing signature table per call (per tick, on
+        # the pipeline). Un-pruned (from-scratch) the parquet scan is
+        # its own pin — no checkpoint barrier needed.
+        s = s.localCheckpoint(eager=True)
     # Both the clear and borderline branches consume this estimate
     # table; without pinning it, the union plan re-runs the two sig
     # joins (the whole signature table shuffled twice more) per branch.
     # Post-estimate rows are tiny (urls + origin + double), so
     # materializing once is far cheaper than one re-derivation.
+    est_fn = estimated_jaccard_packed if packed else estimated_jaccard
     with_sigs = (
         pairs.join(s.withColumnsRenamed({"url": "url_a", "sig": "sig_a"}), "url_a")
         .join(s.withColumnsRenamed({"url": "url_b", "sig": "sig_b"}), "url_b")
-        .withColumn("est", estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm))
+        .withColumn("est", est_fn(F.col("sig_a"), F.col("sig_b"), num_perm))
         .drop("sig_a", "sig_b")
         .localCheckpoint(eager=True)
     )

@@ -437,10 +437,29 @@ class DedupPipeline:
                 if self.catalog.exists("minhash_sigs"):
                     done = self._read("minhash_sigs").select("url")
                     frontier = frontier.join(done, "url", "left_anti")
+            # The signature table carries two derived columns computed
+            # in the SAME job that writes it (narrow projections over
+            # the UDF output — no extra scan):
+            #   bands: the lsh band hashes, so the band_rows stage
+            #     explodes a column-pruned 32-bigint array instead of
+            #     re-decoding the 128-bigint sig (4x the bytes; parquet
+            #     decode was the whole cost of that stage);
+            #   sig16: four 16-bit lanes packed per long (num_perm/4
+            #     longs), so the verify stage's signature-agreement
+            #     tier decodes/shuffles a QUARTER of the sig bytes —
+            #     the tier only tests component equality, and a false
+            #     lane agreement is a deterministic 2^-16 collision,
+            #     est bias ≤ 2^-16 (see packed_sig16).
+            from deduplicator_go_spark.operators.lsh import band_hash_array
+            from deduplicator_go_spark.operators.minhash import packed_sig16
+
             return minhash_signatures(
                 frontier.select("url", "text"), c.shingle_size, c.num_perm,
                 c.minhash_seed,
-            )
+            ).withColumns({
+                "bands": band_hash_array(c.lsh_bands, c.lsh_rows),
+                "sig16": packed_sig16(c.num_perm),
+            })
 
         mh_stage = self._incremental_stage(
             "minhash_sigs", build_minhash, deps=["valid_docs"]
@@ -519,6 +538,7 @@ class DedupPipeline:
             pairs = self._doc_frontier(
                 "verified_pairs", "candidates", keys=["url_a", "url_b"]
             )
+            on_tick = pairs is not None
             if pairs is None:
                 pairs = self._read("candidates")
                 if self.catalog.exists("verified_pairs"):
@@ -531,6 +551,11 @@ class DedupPipeline:
                 c.verify_threshold,
                 sigs=self._read("minhash_sigs"),
                 num_perm=c.num_perm,
+                # tick: the pair frontier touches a sliver of the corpus
+                # — semi-prune the signature table to its endpoints.
+                # from-scratch: endpoints ≈ corpus, the prune is a pure
+                # extra pass + checkpoint barrier — skip it.
+                prune_endpoints=on_tick,
             )
 
         ver_stage = self._incremental_stage(

@@ -136,3 +136,93 @@ def test_batch_window_hashes_chunked_parity(monkeypatch):
     got = MH.batch_window_hashes(texts, 5, clamp_short=True)
     for w, g in zip(want, got):
         assert np.array_equal(w, g)
+
+
+def test_band_table_precomputed_bands_fast_path(spark, tmp_path):
+    """band_table over a table carrying a precomputed `bands` column
+    (the pipeline's signature stage writes one so the explode never
+    decodes the 128-bigint sig) must be row-identical to computing the
+    band hashes from sig, and its scan must prune the sig column."""
+    from deduplicator_go_spark.operators.lsh import band_hash_array
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"document body text {i % 7} with shared phrasing " * 4)
+         for i in range(24)],
+        "url string, text string",
+    )
+    sigs = minhash_signatures(df, C.shingle_size, C.num_perm, C.minhash_seed)
+    want = sorted(
+        band_table(sigs, C.lsh_bands, C.lsh_rows).collect(),
+        key=lambda r: (r.url, r.band_id),
+    )
+    pq = str(tmp_path / "sigs.parquet")
+    sigs.withColumn("bands", band_hash_array(C.lsh_bands, C.lsh_rows)).write.parquet(pq)
+    got_df = band_table(spark.read.parquet(pq), C.lsh_bands, C.lsh_rows)
+    got = sorted(got_df.collect(), key=lambda r: (r.url, r.band_id))
+    assert got == want
+    # column-pruned: the fast path's parquet scan reads url+bands only
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "bands" in read_schema and "sig:" not in read_schema
+
+
+def test_verify_sig16_fast_path_matches_full_sig(spark):
+    """verify_pairs over a signature table carrying sig16 (four 16-bit
+    lanes packed per long) must classify identically to the full
+    64-bit sig — equal components stay equal; a divergence needs a
+    2^-16 lane collision, absent from this fixture."""
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog " * 8),
+        ("b", "the quick brown fox jumps over the lazy dog " * 8),
+        ("c", "a completely different document about spark shuffles " * 8),
+        ("d", "the quick brown fox jumps over the lazy cat " * 8),
+    ]
+    docs = spark.createDataFrame(texts, "url string, text string")
+    sigs = minhash_signatures(docs, C.shingle_size, C.num_perm, C.minhash_seed)
+    pairs = spark.createDataFrame(
+        [("a", "b", "pair"), ("a", "c", "pair"), ("a", "d", "pair")],
+        "url_a string, url_b string, origin string",
+    )
+    full = verify_pairs(pairs, docs, C.shingle_size, 0.8, sigs=sigs,
+                        num_perm=C.num_perm)
+    from deduplicator_go_spark.operators.minhash import packed_sig16
+
+    compact = verify_pairs(
+        pairs, docs, C.shingle_size, 0.8,
+        sigs=sigs.withColumn("sig16", packed_sig16(C.num_perm)),
+        num_perm=C.num_perm,
+    )
+    # the from-scratch path skips the endpoint semi-prune entirely —
+    # same classifications either way
+    unpruned = verify_pairs(
+        pairs, docs, C.shingle_size, 0.8,
+        sigs=sigs.withColumn("sig16", packed_sig16(C.num_perm)),
+        num_perm=C.num_perm, prune_endpoints=False,
+    )
+    key = lambda r: (r.url_a, r.url_b)
+    want = sorted(full.collect(), key=key)
+    assert sorted(compact.collect(), key=key) == want
+    assert sorted(unpruned.collect(), key=key) == want
+
+
+def test_pipeline_sig_table_derived_columns_consistent(spark, tmp_path, docs):
+    """The pipeline's minhash_sigs table must carry bands == the band
+    hashes recomputed from sig, and sig16 == packed_sig16(sig) — the
+    contract the band_rows/verify column-pruned fast paths rely on."""
+    from deduplicator_go_spark.config import DedupConfig
+    from deduplicator_go_spark.operators.lsh import band_hash_array
+    from deduplicator_go_spark.operators.minhash import packed_sig16
+    from deduplicator_go_spark.plans.pipeline import DedupPipeline
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    c = DedupConfig()
+    pipe = DedupPipeline(spark, CheckpointCatalog(str(tmp_path / "ck")), c)
+    pipe.run(docs.limit(200))
+    t = pipe.catalog.read(spark, "minhash_sigs")
+    assert {"url", "sig", "bands", "sig16"} <= set(t.columns)
+    bad = t.filter(
+        (F.col("bands") != band_hash_array(c.lsh_bands, c.lsh_rows))
+        | (F.col("sig16") != packed_sig16(c.num_perm))
+    ).count()
+    assert bad == 0
