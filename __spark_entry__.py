@@ -1323,8 +1323,18 @@ def _q_embedding_topk_ann(spark, sf_dir):
     # pattern): the adaptive band width needs n_rows, and a count() job
     # over the source would re-scan it once per invocation
     n_rows = 4 * pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
+    # target_bucket=2: candidate volume per band is ~n·target/2, and
+    # every candidate here pays an exact cosine + window row — the
+    # top-k answer is invariant to the width (exact copies agree on
+    # every hyperplane sign, so siblings collide in ALL bands at any
+    # width), while the random-collision candidate tail scales linearly
+    # with the target. Measured at sf1.0: target 32 → 12-bit bands →
+    # 7.6M within-bucket pairs; target 2 → 16-bit bands → ~1.3M.
+    # The jittered-recall *quality* config stays the default-target
+    # adaptive width (the lsh_recall gate pins it).
     return similarity.lsh_topk(
-        view, k=3, n_bits=None, n_bands=10, cell_cap=256, n_rows=n_rows
+        view, k=3, n_bits=None, n_bands=10, cell_cap=256, n_rows=n_rows,
+        target_bucket=2,
     )
 
 

@@ -247,6 +247,7 @@ def lsh_topk(
     cell_cap: int = 256,
     n_rows: int | None = None,
     broadcast_sizes: bool = True,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band;
     cosine computed exactly on candidates only.
@@ -267,36 +268,51 @@ def lsh_topk(
     shuffle; vectors are attached by id after pair dedup.
     ``broadcast_sizes=False`` degrades the colliding-bucket size join
     to shuffle for corpora whose collision table outgrows the driver
-    (mirrors ``embedding_dup_pairs``' ``collision_broadcast``)."""
+    (mirrors ``embedding_dup_pairs``' ``collision_broadcast``).
+
+    ``target_bucket`` is the adaptive width's expected-bucket-size goal
+    (only used when ``n_bits is None``): candidate volume is
+    ~n·target/2 pairs per band, so a top-k consumer that verifies every
+    candidate with an exact cosine can run a much sharper width
+    (smaller target) than a recall-first consumer — candidate cost
+    scales linearly with the target while planted/near-identical
+    neighbors collide at any width."""
     from .lsh import grid_all_pairs
 
     if n_bits is None:
-        n_bits = n_bands * auto_band_width(n_rows if n_rows is not None else emb.count())
+        n_bits = n_bands * auto_band_width(
+            n_rows if n_rows is not None else emb.count(), target_bucket
+        )
 
     bands = hyperplane_band_table(emb, n_bits, n_bands, seed, id_col, vec_col)
     pairs = grid_all_pairs(
         bands, ["band_id", "band_val"], "id", cell_cap, broadcast_sizes=broadcast_sizes
     )
-    # per-query top-k needs both directions of each unordered pair; a
-    # single-pass explode, NOT a self-union — a union would re-derive
-    # the whole grid join once per branch (plan-audited; the
-    # multi-consumer re-derivation class from BENCH/EVIDENCE.md r2)
-    sym = pairs.select(
+    # score each unordered pair ONCE (one vector attach + one cosine),
+    # THEN explode into both directions for the per-query window —
+    # scoring after the sym explode paid both joins and the cosine
+    # twice per pair (plan-audited r6). The explode stays a single-pass
+    # generate, NOT a self-union — a union would re-derive the whole
+    # grid join once per branch (the multi-consumer re-derivation
+    # class from BENCH/EVIDENCE.md r2).
+    scored = _attach_vectors(pairs, emb, id_col, vec_col).select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    sym = scored.select(
         F.explode(
             F.array(
-                F.struct(F.col("id_a"), F.col("id_b")),
+                F.struct(F.col("id_a"), F.col("id_b"), F.col("cos")),
                 F.struct(
-                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("cos"),
                 ),
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    scored = _attach_vectors(sym, emb, id_col, vec_col).select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
-    )
+    ).select("p.id_a", "p.id_b", "p.cos")
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"), "rank")
     )
