@@ -311,17 +311,29 @@ def _q_pricing_summary(spark, sf_dir):
 
 
 def _q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3-shaped join + top-k by revenue."""
+    """TPC-H Q3-shaped join + top-k by revenue.
+
+    Join order/build sides pinned by hints: unhinted, the planner's
+    size estimate picked LINEITEM (the fact table — 6M rows at sf1.0)
+    as the broadcast build side, constructing a multi-million-row hash
+    relation to probe with the small side. The qualifying-orders
+    subquery (customer segment filter ⋈ orders) is the provably small
+    side — broadcast THAT and stream lineitem through it, so the fact
+    table is never shuffled or built into a hash relation. Same rows,
+    same ordering, same schema (hints cannot change results)."""
     _register(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(
         """
-        SELECT o.o_orderkey AS orderkey,
+        SELECT /*+ BROADCAST(co) */ co.o_orderkey AS orderkey,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-        GROUP BY o.o_orderkey
+        FROM lineitem l
+        JOIN (
+          SELECT /*+ BROADCAST(c) */ o.o_orderkey
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+        ) co ON l.l_orderkey = co.o_orderkey
+        GROUP BY co.o_orderkey
         ORDER BY revenue DESC, orderkey ASC
         LIMIT 10
         """
@@ -558,14 +570,15 @@ def _ann_truth_view(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = emb
-    for j in (1, 2, 3):
-        out = out.unionByName(
-            emb.select(
-                (F.col("vec_id") + F.lit(j * 1000000)).alias("vec_id"), "embedding"
-            )
-        )
-    return out
+    # one scan + a 4-way explode, not a 4-branch self-union: the view
+    # feeds several consumers (band UDF, both vector-attach joins), and
+    # the union form re-scanned the parquet 4x per consumer derivation
+    # (12 scans per lsh_topk call, plan-audited r6). Same rows.
+    return emb.select(
+        F.explode(F.array(*[F.lit(j * 1000000) for j in (0, 1, 2, 3)])).alias("__off"),
+        "vec_id",
+        "embedding",
+    ).select((F.col("vec_id") + F.col("__off")).alias("vec_id"), "embedding")
 
 
 # shared by the ivf_topk and embedding_topk_ann oracles: the provable
@@ -1322,19 +1335,23 @@ def _q_embedding_topk_ann(spark, sf_dir):
     # corpus size from parquet footers (the catalog-commit-metadata
     # pattern): the adaptive band width needs n_rows, and a count() job
     # over the source would re-scan it once per invocation
-    n_rows = 4 * pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
-    # target_bucket=2: candidate volume per band is ~n·target/2, and
+    ds = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    n_rows = 4 * ds.count_rows()
+    # vector dim from one parquet row (no Spark job — the band table's
+    # dim probe would otherwise run a first() scan per invocation)
+    dim = len(ds.head(1).column("embedding")[0])
+    # target_bucket=1: candidate volume per band is ~n·target/2, and
     # every candidate here pays an exact cosine + window row — the
     # top-k answer is invariant to the width (exact copies agree on
     # every hyperplane sign, so siblings collide in ALL bands at any
     # width), while the random-collision candidate tail scales linearly
     # with the target. Measured at sf1.0: target 32 → 12-bit bands →
-    # 7.6M within-bucket pairs; target 2 → 16-bit bands → ~1.3M.
+    # 7.6M within-bucket pairs; target 1 → 17-bit bands → ~0.4M.
     # The jittered-recall *quality* config stays the default-target
     # adaptive width (the lsh_recall gate pins it).
     return similarity.lsh_topk(
         view, k=3, n_bits=None, n_bands=10, cell_cap=256, n_rows=n_rows,
-        target_bucket=2,
+        target_bucket=1, dim=dim,
     )
 
 

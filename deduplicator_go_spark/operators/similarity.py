@@ -163,6 +163,7 @@ def hyperplane_band_table(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (id, band_id, band_val): the embedding analog of
     ``lsh.band_table`` — one slim row per (vector, band), no payload
@@ -190,8 +191,11 @@ def hyperplane_band_table(
             f"band width {width} > 62 bits cannot pack into one int64 band "
             "value; raise n_bands or lower n_bits"
         )
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
+    if dim is None:
+        # one extra Spark job per call — hot callers thread ``dim``
+        # from source metadata (e.g. one parquet row via pyarrow)
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
     rng = np.random.default_rng(seed)
     # same plane layout as hyperplane_signatures(seed): column j is
     # signature bit j, so band values agree with the legacy extraction
@@ -228,12 +232,16 @@ def auto_band_width(n_rows: int, target_bucket: int = 32) -> int:
     keeps the EXPECTED bucket size ~target regardless of corpus size —
     the knob that keeps the bucket join linear as the corpus grows
     (fixed-width banding is quadratic once n outgrows 2^width·target).
-    Clamped to [4, 16]."""
+    Clamped to [4, 28]: the low clamp keeps tiny corpora from
+    degenerating to 1-bit bands; the high clamp sits well inside the
+    62-bit per-band packing limit while covering ~2^28·target rows
+    before the quadratic regime (the old 16-bit ceiling hit it at
+    ~2M rows — a scale bug for any corpus past that)."""
     import math
 
     if n_rows <= target_bucket:
         return 4
-    return max(4, min(16, math.ceil(math.log2(n_rows / target_bucket))))
+    return max(4, min(28, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def lsh_topk(
@@ -248,6 +256,7 @@ def lsh_topk(
     n_rows: int | None = None,
     broadcast_sizes: bool = True,
     target_bucket: int = 32,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band;
     cosine computed exactly on candidates only.
@@ -284,7 +293,7 @@ def lsh_topk(
             n_rows if n_rows is not None else emb.count(), target_bucket
         )
 
-    bands = hyperplane_band_table(emb, n_bits, n_bands, seed, id_col, vec_col)
+    bands = hyperplane_band_table(emb, n_bits, n_bands, seed, id_col, vec_col, dim=dim)
     pairs = grid_all_pairs(
         bands, ["band_id", "band_val"], "id", cell_cap, broadcast_sizes=broadcast_sizes
     )
