@@ -6,7 +6,7 @@ standing table that only grows. At 10^12 keys the exact anti-join
 shuffles the probe set against the full standing key column; a Bloom
 filter answers probably-seen/definitely-new from a bitset a thousandth
 that size (the reference's import path asks the same question against
-Postgres per batch, /root/reference/internal/files/import.go).
+Postgres per batch, /root/reference/files/import.go).
 
 Spark's built-in BloomFilter (df.stat.bloomFilter) materializes the
 bitset ON THE DRIVER and broadcasts it — a dead end past a few GB.

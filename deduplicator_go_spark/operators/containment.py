@@ -25,7 +25,7 @@ mutual-dup pair; at 100 TB you run this on LSH candidates, not the
 raw corpus — the operator takes any (id, text) frame, so feeding it
 `candidate_pairs` survivors is a plain filter upstream.
 
-Reference provenance: extends /root/reference/internal/dedupe
+Reference provenance: extends /root/reference/files/dedupe.go:168-181
 exact-group semantics the same way operators/ngram.py does; no
 containment analogue exists in the reference (its hashes are
 whole-file).

@@ -18,7 +18,7 @@ the cluster rule: the lexicographically smaller url keeps the block
 (deterministic across engines, retries, and tick orders).
 
 Reference provenance: no analog — the reference dedups whole files by
-hash (/root/reference/internal/files/hash.go); span surgery only makes
+hash (/root/reference/files/hash.go); span surgery only makes
 sense for text corpora.
 """
 

@@ -5,7 +5,7 @@ pages: a host whose pages are mostly duplicates of each other (or of
 the wider corpus) is a mirror, a scraper, or an SEO farm, and its
 *novel* pages are rarely worth the crawl budget either. The reference
 has the same shape at file-system scope — per-host scoping of dup
-groups (/root/reference/internal/files/hash.go host filters); this is
+groups (/root/reference/files/hash.go host filters); this is
 the webtext analog over the (url, text) corpus.
 
 Scale shape: one sha-keyed aggregation to mark duplicated content

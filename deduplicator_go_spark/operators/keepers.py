@@ -1,7 +1,7 @@
 """Quality-weighted canonical selection for near-dup clusters.
 
 The reference elects keepers lexicographically or by directory priority
-(/root/reference/internal/files/move.go:226-236 — W2/W3 in SURVEY §2);
+(/root/reference/files/move.go:226-236 — W2/W3 in SURVEY §2);
 a training-data pipeline elects by CONTENT quality: of a cluster of
 near-identical pages, keep the one with the least boilerplate/junk and
 drop the rest. Deterministic: quality descending, id ascending on ties

@@ -25,7 +25,7 @@ the threshold), joined per exploded line; reassembly is ONE groupBy(url)
 whose per-doc state is the doc's own lines. No driver-side data path.
 
 Reference provenance: no analog — the reference dedups whole files by
-content hash (/root/reference/internal/files/hash.go); sub-document
+content hash (/root/reference/files/hash.go); sub-document
 surgery only exists for text corpora.
 """
 

@@ -67,8 +67,23 @@ def band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     the N-vs-4N fixed tax the round-4 verdict flagged on band_rows).
     """
     if "bands" in sigs.columns:
+        # the precomputed column must have been built under the SAME
+        # (bands, rows) config — a caller passing a table whose bands
+        # column came from a different banding would get silently wrong
+        # band hashes (ADVICE r5, low). Safe in-pipeline (params changes
+        # wipe the table), but guard the fast path with a per-row length
+        # check: one int compare in codegen, raises instead of
+        # mis-bucketing.
+        checked = F.when(F.size("bands") == bands, F.col("bands")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"band_table: precomputed 'bands' column length != "
+                    f"bands={bands} — table built under a different banding config"
+                )
+            )
+        )
         return sigs.select(
-            "url", F.posexplode("bands").alias("band_id", "band_hash")
+            "url", F.posexplode(checked).alias("band_id", "band_hash")
         )
     return sigs.select(
         "url", F.posexplode(band_hash_array(bands, rows)).alias("band_id", "band_hash")

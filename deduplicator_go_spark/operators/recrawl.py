@@ -7,7 +7,7 @@ dedup runs, the cheap first pass collapses re-crawls: group by
 normalization) and keep the NEWEST capture, the polar opposite of the
 event-stream first-seen rule (``dedup_events``) and the webtext analog
 of the reference's change-detection upsert (the newest scan of a path
-replaces the stored row, /root/reference/internal/files/hash.go
+replaces the stored row, /root/reference/files/hash.go
 update-on-change semantics).
 
 Scale shape: one shuffle keyed by canonical_url (a window rank + count

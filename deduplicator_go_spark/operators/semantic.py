@@ -33,7 +33,7 @@ cell index in both engines.
 
 Reference provenance: deDuplicator-Go has no embedding path; this
 extends its exact-hash dup-group + keeper-election semantics
-(/root/reference/internal/dedupe/dedupe.go keeper selection) into
+(/root/reference/files/dedupe.go keeper selection) into
 semantic space, keeping the same "group then elect one keeper
 deterministically" contract.
 """

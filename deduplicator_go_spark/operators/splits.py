@@ -24,7 +24,7 @@ write is embarrassingly parallel and a shard never exceeds
 corpus/n_shards (md5 is uniform).
 
 Reference provenance: no analog — the reference moves dup files to a
-quarantine dir (/root/reference/internal/files/move.go); split/shard
+quarantine dir (/root/reference/files/move.go); split/shard
 bookkeeping only exists for training corpora.
 """
 

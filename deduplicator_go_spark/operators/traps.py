@@ -12,7 +12,7 @@ host is a trap; its pages can be dropped or down-sampled without
 reading any content.
 
 This is the webtext analog of the reference's most-specific-prefix
-pruning (``/root/reference/internal/files/prune.go`` — kill whole
+pruning (``/root/reference/files/prune.go`` — kill whole
 subtrees by path pattern, not file-by-file): the "subtree" here is a
 url template, discovered from data instead of configured.
 

@@ -143,8 +143,12 @@ def verify_pairs(
     if num_perm is None:
         # caller didn't thread the config through — probe the signature
         # table (one tiny extra job). Callers on the hot path (the
-        # pipeline) pass num_perm explicitly to avoid this.
-        first = sigs.select(F.col("sig").alias("sig")).first()
+        # pipeline) pass num_perm explicitly to avoid this. Probe the
+        # column the tier will actually read: a sigs table carrying
+        # only sig16 previously raised on the unconditional 'sig'
+        # select, and probing sig here decoded 4x the bytes for
+        # nothing (ADVICE r5, low).
+        first = sigs.select(F.col(sig_col).alias("s")).first()
         if first is None:
             # empty signature table → no candidates to verify
             return pairs.select(
@@ -153,7 +157,8 @@ def verify_pairs(
                 F.lit(False).alias("is_dup"),
                 F.lit("est").alias("verify_tier"),
             )
-        num_perm = len(first["sig"])
+        # sig16 packs four 16-bit lanes per long
+        num_perm = 4 * len(first["s"]) if packed else len(first["s"])
     # semi-prune the signature table to the pair endpoints before the
     # two attach joins: without it each join shuffles the FULL standing
     # signature table (url + num_perm bigints per row) even when the

@@ -47,6 +47,7 @@ re-process it. Mutations belong in a new url (or a fresh catalog).
 
 from __future__ import annotations
 
+import hashlib
 import time
 from dataclasses import dataclass, field
 
@@ -61,6 +62,13 @@ from ..operators.minhash import minhash_signatures
 from ..operators.suffix import anchor_table, prune_substr_candidates, verify_substr_pairs
 from ..operators.verify import verify_pairs
 from ..sources.catalog import CheckpointCatalog
+
+# Bump whenever the SCHEMA of any catalog stage table changes (column
+# set or meaning), so incremental catalogs written by earlier code
+# generations are wiped instead of appended to with a mixed schema.
+# History: 1 = pre-r5 minhash_sigs (url, sig); 2 = r5 adds
+# bands/sig16 derived columns to minhash_sigs.
+TABLE_SCHEMA_VERSION = 2
 
 
 @dataclass
@@ -94,7 +102,20 @@ class DedupPipeline:
         self.catalog = catalog
         self.config = config or DedupConfig()
         self.with_substr = with_substr
-        self.ph = self.config.params_hash()
+        # params_hash gates incremental reuse of catalog tables, but
+        # params alone cannot see CODE changes that alter a table's
+        # SCHEMA (e.g. round 5 added bands/sig16 to minhash_sigs):
+        # appending the new schema to an old-params-identical table
+        # yields a mixed-schema parquet dir whose old rows surface with
+        # NULL new columns under the default mergeSchema=false read —
+        # silently dropping docs from band_rows and pairs from
+        # verification on the tick path (ADVICE r5, medium). Mixing a
+        # schema-version constant into the hash forces
+        # incremental_begin to wipe/rebuild any table written by a
+        # different table-schema generation.
+        self.ph = hashlib.sha256(
+            f"{self.config.params_hash()}|schema={TABLE_SCHEMA_VERSION}".encode()
+        ).hexdigest()[:16]
 
     # -- stage runner -----------------------------------------------------
     def _deps_fingerprint(self, deps: list[str] | None,

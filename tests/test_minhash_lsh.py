@@ -226,3 +226,39 @@ def test_pipeline_sig_table_derived_columns_consistent(spark, tmp_path, docs):
         | (F.col("sig16") != packed_sig16(c.num_perm))
     ).count()
     assert bad == 0
+
+
+def test_band_table_fast_path_guards_band_count(spark):
+    """A precomputed 'bands' column built under a DIFFERENT banding
+    config must raise, not silently mis-bucket (ADVICE r5)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from deduplicator_go_spark.operators.lsh import band_table
+
+    sigs = spark.createDataFrame(
+        [("u1", [1, 2, 3])], "url string, bands array<bigint>"
+    )
+    # matching config: fast path works
+    assert band_table(sigs, bands=3, rows=4).count() == 3
+    # mismatched config: per-row guard raises
+    with pytest.raises(SparkRuntimeException, match="different banding config"):
+        band_table(sigs, bands=8, rows=4).count()
+
+
+def test_pipeline_schema_version_gates_catalog_reuse(spark, tmp_path, monkeypatch):
+    """A catalog written under a different TABLE_SCHEMA_VERSION must be
+    wiped on the next run, not appended to with a mixed schema
+    (ADVICE r5, medium): params_hash alone cannot see code-generation
+    schema changes."""
+    from deduplicator_go_spark.config import DedupConfig
+    from deduplicator_go_spark.plans import pipeline as P
+    from deduplicator_go_spark.sources.catalog import CheckpointCatalog
+
+    c = DedupConfig()
+    p1 = P.DedupPipeline(spark, CheckpointCatalog(str(tmp_path / "ck")), c)
+    p2 = P.DedupPipeline(spark, CheckpointCatalog(str(tmp_path / "ck")), c)
+    assert p1.ph == p2.ph  # same code generation + params → reusable
+    monkeypatch.setattr(P, "TABLE_SCHEMA_VERSION", P.TABLE_SCHEMA_VERSION + 1)
+    p3 = P.DedupPipeline(spark, CheckpointCatalog(str(tmp_path / "ck")), c)
+    assert p3.ph != p1.ph  # schema bump → incremental_begin wipes
