@@ -728,10 +728,31 @@ def _q_ivf_topk(spark, sf_dir):
     n_probe cells) over the planted-truth view — VALUE-checked
     (membership + rank + cos): exact copies land in the same coarse
     cell deterministically, so the probe join must surface all three
-    siblings for every query (see _ann_truth_view)."""
+    siblings for every query (see _ann_truth_view) — a structural
+    property independent of n_cells, which is why the cell count can
+    be density-adaptive: a FIXED 8 cells means every query scores
+    n_probe/8 of the corpus (near-brute-force at any scale; the
+    measured sf0.1 wall was 24M candidate pairs), while ~sqrt(n)
+    cells keep per-cell membership ≈ sqrt(n) and per-query candidate
+    work ≈ n_probe·sqrt(n) — the standard IVF sizing."""
+    import math
+
+    import pyarrow.dataset as pads
+
     from deduplicator_go_spark.operators.ivf import ivf_topk
 
-    return ivf_topk(_ann_truth_view(spark, sf_dir), k=3, n_cells=8, n_probe=3)
+    n_rows = 4 * pads.dataset(
+        f"{sf_dir}/embeddings.parquet", format="parquet"
+    ).count_rows()
+    n_cells = max(8, math.isqrt(n_rows))
+    # probe ~1/16 of the cells (min 3): candidate work per query is
+    # n_probe·(n/n_cells) ≈ sqrt(n)·n_cells/16 — measured jittered-view
+    # recall with this sizing: 0.987 (sf0.01), 0.980 (sf0.1); the
+    # truth-view answer is cell-count-invariant either way
+    return ivf_topk(
+        _ann_truth_view(spark, sf_dir), k=3, n_cells=n_cells,
+        n_probe=max(3, -(-n_cells // 16)),
+    )
 
 
 def _q_pq_topk(spark, sf_dir):
@@ -743,10 +764,23 @@ def _q_pq_topk(spark, sf_dir):
     over all codes, so every sibling must survive the shortlist cut;
     exact re-rank then puts the three siblings at cos 1.0. See
     operators/pq.py."""
+    import math
+
+    import pyarrow.dataset as pads
+
     from deduplicator_go_spark.operators.pq import ivfpq_topk
 
+    # same density-adaptive IVF sizing as _q_ivf_topk (~sqrt(n) cells,
+    # probe ~1/16 of them): sibling survival is structural at any cell
+    # count (same cell + max-ADC code), so only the random-candidate
+    # tail shrinks
+    n_rows = 4 * pads.dataset(
+        f"{sf_dir}/embeddings.parquet", format="parquet"
+    ).count_rows()
+    n_cells = max(8, math.isqrt(n_rows))
     return ivfpq_topk(
-        _ann_truth_view(spark, sf_dir), k=3, n_cells=8, n_probe=3, shortlist=16
+        _ann_truth_view(spark, sf_dir), k=3, n_cells=n_cells,
+        n_probe=max(3, -(-n_cells // 16)), shortlist=16,
     )
 
 
@@ -1303,13 +1337,37 @@ def _ann_recall_gate(spark, sf_dir, path_name):
         # separately-tuned one
         approx = similarity.lsh_topk(view, k=3, n_bits=None, n_bands=10).select("id_a", "id_b")
     elif path_name == "pq":
+        import math
+
+        import pyarrow.dataset as pads
+
         from deduplicator_go_spark.operators.pq import ivfpq_topk
 
+        # SAME density-adaptive sizing the pq_topk query runs — the
+        # gate certifies the exact configuration the scale path uses
+        n_rows = 4 * pads.dataset(
+            f"{sf_dir}/embeddings.parquet", format="parquet"
+        ).count_rows()
+        n_cells = max(8, math.isqrt(n_rows))
         approx = ivfpq_topk(
-            view, k=3, n_cells=8, n_probe=3, shortlist=16
+            view, k=3, n_cells=n_cells, n_probe=max(3, -(-n_cells // 16)),
+            shortlist=16,
         ).select("id_a", "id_b")
     else:
-        approx = ivf_topk(view, k=3, n_cells=8, n_probe=3).select("id_a", "id_b")
+        # SAME density-adaptive cell count the ivf_topk query runs
+        # (~sqrt(n) cells, n_probe=3) — the gate certifies the exact
+        # configuration the scale path uses
+        import math
+
+        import pyarrow.dataset as pads
+
+        n_rows = 4 * pads.dataset(
+            f"{sf_dir}/embeddings.parquet", format="parquet"
+        ).count_rows()
+        n_cells = max(8, math.isqrt(n_rows))
+        approx = ivf_topk(
+            view, k=3, n_cells=n_cells, n_probe=max(3, -(-n_cells // 16))
+        ).select("id_a", "id_b")
     n_exact = exact.count()
     n_hit = approx.join(exact, ["id_a", "id_b"]).count()
     recall = n_hit / n_exact if n_exact else 1.0

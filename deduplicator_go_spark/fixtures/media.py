@@ -119,7 +119,15 @@ def synth_media_row(i: int) -> tuple:
 
 
 def synthetic_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distributed generator: one media row per input id."""
+    """Distributed generator: one media row per input id.
+
+    The id list arrives from a parquet scan whose split count (1-4
+    tasks for a skinny id column) would otherwise serialize every
+    downstream codec UDF — synthesis here, plus the decode/encode
+    chains of transcode/phash consumers that inherit this
+    partitioning. Repartition to core count first (the CPU-bound
+    pandas-stage rule, operators/minhash.cpu_partitions)."""
+    from ..operators.minhash import cpu_partitions
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "kind", "payload", "mime", "width", "height",
@@ -128,7 +136,11 @@ def synthetic_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = [synth_media_row(int(i)) for i in pdf[id_col]]
             yield pd.DataFrame(rows, columns=cols)
 
-    return ids.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+    return (
+        ids.select(id_col)
+        .repartition(cpu_partitions(ids))
+        .mapInPandas(batches, MEDIA_SCHEMA)
+    )
 
 
 def truth_pairs(id_values: list[int]) -> set[tuple[str, str]]:

@@ -29,8 +29,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine
-
 
 def train_centroids(
     emb: DataFrame,
@@ -116,12 +114,21 @@ def ivf_topk(
     joins in bounded ~cell_cap buckets instead of one hot task that AQE
     cannot split further without losing the equi-join key.
     """
+    from .similarity import _attach_vectors, attached_cosine
+
     cents = train_centroids(emb, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    # the probe join carries ONLY (cell, salt, id) — vectors attach by
+    # id AFTER pair dedup, the same rule every other pair path follows
+    # (similarity._attach_vectors): with vectors inline, each candidate
+    # row hauled 2·dim doubles through the join + dropDuplicates
+    # shuffles (measured: 24M candidate rows × ~1 KB at the sf0.1
+    # oracle view = the entire 178 s stage wall; ids-only rows are
+    # ~16 B — a ~60× shuffle-byte cut before any scoring)
     stored = assign_cells(emb, cents, id_col, vec_col, n_probe=1).select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell"
+        F.col("id").alias("id_b"), "cell"
     )
     queries = assign_cells(emb, cents, id_col, vec_col, n_probe=n_probe).select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell"
+        F.col("id").alias("id_a"), "cell"
     )
     cell_sizes = stored.groupBy("cell").agg(
         F.ceil(F.count("*") / F.lit(cell_cap)).cast("int").alias("ns")
@@ -132,11 +139,14 @@ def ivf_topk(
     queries_s = queries.join(F.broadcast(cell_sizes), "cell").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
     )
-    scored = (
-        queries_s.join(stored_s.select("cell", "salt", "id_b", "vb"), ["cell", "salt"])
+    pairs = (
+        queries_s.join(stored_s.select("cell", "salt", "id_b"), ["cell", "salt"])
         .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select("id_a", "id_b")
+    )
+    scored = _attach_vectors(pairs, emb, id_col, vec_col).select(
+        "id_a", "id_b", F.round(attached_cosine(), 6).alias("cos")
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (

@@ -55,8 +55,12 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "url", text_col: str 
     ``concat_ws`` over scalar args — the earlier ``F.slice(toks, i+1,
     n)`` form allocated a fresh n-element array per (doc, gram)
     position (tens of millions of temporaries per corpus pass; the
-    same allocation class lsh.band_hash_array eliminated)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    same allocation class lsh.band_hash_array eliminated). The token
+    array is projected into its own column first so the regex
+    split/lower/trim runs once per doc rather than riding every
+    reference inside the transform (measured 5.4 → 4.7 s for the
+    sf1.0 gram pass)."""
+    toks = F.col("__toks")
     k = F.size(toks) - (n - 1)
     grams = F.when(
         k > 0,
@@ -68,7 +72,11 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "url", text_col: str 
         ),
     ).otherwise(F.array())
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+        )
+        .select("id", F.explode(F.array_distinct(grams)).alias("gram"))
     )
 
 
@@ -80,6 +88,50 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "url", text_col: str 
 # verify step makes loose filters harmless.
 def _safe_ceil(col):
     return F.ceil(col - F.lit(1e-9))
+
+
+def gram_docsets(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_doc_freq: int | None = 256,
+) -> DataFrame:
+    """→ pinned (id, grams, n_grams): per-doc df-capped gram sets as
+    arrays sorted by the global (document frequency ASC, gram ASC)
+    order — the shared input shape of the prefix-filtered similarity
+    joins (Jaccard here, directed containment in
+    operators/containment.py). Rarest-first ordering is what makes
+    prefixes selective; any consistent total order preserves
+    exactness."""
+    from .minhash import cpu_partitions
+
+    # the tokenize/gram projection is CPU-bound and would otherwise run
+    # inside the scan stage at the parquet split count (4 tasks at
+    # sf1.0 on 32 cores — measured 33 s serialized vs ~4 s spread);
+    # repartition the docs first so the explode uses every core
+    grams = word_ngrams(
+        docs.repartition(cpu_partitions(docs)), n, id_col, text_col
+    )
+    # two consumers below (df agg + the docsets build): pin the explode
+    # once — unpinned, each consumer re-runs the tokenize/gram pass
+    grams = grams.localCheckpoint(eager=True)
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    if max_doc_freq is not None:
+        df = df.filter(F.col("df") <= max_doc_freq)
+    docsets = (
+        grams.join(df, "gram")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "gram"))).alias("gs"))
+        .select(
+            "id",
+            F.col("gs").getField("gram").alias("grams"),
+            F.size("gs").alias("n_grams"),
+        )
+    )
+    # multiple consumers (prefix explode + verify sides): pin once
+    # (same multi-consumer rule as the LSH band table)
+    return docsets.localCheckpoint(eager=True)
 
 
 def ngram_jaccard_pairs(
@@ -110,38 +162,8 @@ def ngram_jaccard_pairs(
     gram strings cross an exchange once (building the per-doc arrays);
     the self-join carries only the tiny prefix table.
     """
-    from .minhash import cpu_partitions
-
     t = float(threshold)
-    # the tokenize/gram projection is CPU-bound and would otherwise run
-    # inside the scan stage at the parquet split count (4 tasks at
-    # sf1.0 on 32 cores — measured 33 s serialized vs ~4 s spread);
-    # repartition the docs first so the explode uses every core
-    grams = word_ngrams(
-        docs.repartition(cpu_partitions(docs)), n, id_col, text_col
-    )
-    # two consumers below (df agg + the docsets build): pin the explode
-    # once — unpinned, each consumer re-runs the tokenize/gram pass
-    grams = grams.localCheckpoint(eager=True)
-    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    if max_doc_freq is not None:
-        df = df.filter(F.col("df") <= max_doc_freq)
-    # per-doc gram sets sorted by the global (df, gram) order —
-    # rarest-first minimizes prefix collisions; any consistent total
-    # order preserves exactness
-    docsets = (
-        grams.join(df, "gram")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "gram"))).alias("gs"))
-        .select(
-            "id",
-            F.col("gs").getField("gram").alias("grams"),
-            F.size("gs").alias("n_grams"),
-        )
-    )
-    # three consumers (prefix explode + both verify sides): pin once
-    # (same multi-consumer rule as the LSH band table)
-    docsets = docsets.localCheckpoint(eager=True)
+    docsets = gram_docsets(docs, n, id_col, text_col, max_doc_freq)
 
     pref_len = (F.col("n_grams") - _safe_ceil(F.lit(t) * F.col("n_grams")) + 1).cast("int")
     prefix = docsets.select(

@@ -148,7 +148,7 @@ def ivfpq_topk(
         .join(codes.withColumnRenamed("id", "id_b"), "id_b")
     )
     queries = assign_cells(emb, cents, id_col, vec_col, n_probe=n_probe).select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell"
+        F.col("id").alias("id_a"), "cell"
     )
     cell_sizes = stored.groupBy("cell").agg(
         F.ceil(F.count("*") / F.lit(cell_cap)).cast("int").alias("ns")
@@ -159,37 +159,65 @@ def ivfpq_topk(
     queries_s = queries.join(F.broadcast(cell_sizes), "cell").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
     )
+    # the candidate join/dedup carries ONLY (id_a, id_b, code) — m
+    # small ints of payload. The query vector previously rode every
+    # candidate row through the join, the dropDuplicates shuffle AND
+    # the applyInPandas groupBy shuffle (d doubles × candidates ≈ the
+    # whole stage wall at the sf0.1 oracle view). ADC scoring is now
+    # split by economics: the per-query (m×k) lookup table is built in
+    # ONE pandas pass over the 1-row-per-query side, and each
+    # candidate's O(m) table-lookup sum runs as a native codegen
+    # expression after a hash join of the (flattened) tables onto the
+    # skinny candidates — no per-candidate Python, no vectors in any
+    # pair shuffle. Same left-to-right 8-term double sum as the numpy
+    # row sum it replaces, so scores (and the shortlist) are
+    # bit-identical.
     cand = (
         queries_s.join(stored_s.select("cell", "salt", "id_b", "code"), ["cell", "salt"])
         .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "va", "id_b", "code")
+        .select("id_a", "id_b", "code")
     )
 
     sc = emb.sparkSession.sparkContext
     b = sc.broadcast(books)
     n_short = shortlist
+    k_codes = books.shape[1]
 
-    def adc_score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def adc_tables(it):
         books_ = b.value
         m_, _, sub = books_.shape
-        q = np.asarray(pdf["va"].iloc[0], dtype=np.float64)
-        q = q / max(np.linalg.norm(q), 1e-12)
-        # the per-query ADC table: (m, k) subspace dot products
-        table = np.stack(
-            [q[s * sub : (s + 1) * sub] @ books_[s].T for s in range(m_)]
-        )
-        codes_ = np.vstack(pdf["code"].to_numpy())
-        scores = table[np.arange(m_)[None, :], codes_].sum(axis=1)
-        order = np.lexsort((pdf["id_b"].to_numpy(), -scores))[:n_short]
-        return pd.DataFrame(
-            {
-                "id_a": pdf["id_a"].iloc[order],
-                "id_b": pdf["id_b"].iloc[order],
-            }
-        )
+        for pdf in it:
+            x = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            # (batch, m·k) flattened ADC tables: row-major [s·k + c]
+            tabs = np.concatenate(
+                [x[:, s * sub : (s + 1) * sub] @ books_[s].T for s in range(m_)],
+                axis=1,
+            )
+            yield pd.DataFrame({"id_a": pdf["id"], "tab": list(tabs)})
 
-    short = cand.groupBy("id_a").applyInPandas(adc_score, "id_a long, id_b long")
+    tabs = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInPandas(adc_tables, "id_a long, tab array<double>")
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("tab"), (s * k_codes + F.element_at(F.col("code"), s + 1) + 1).cast("int")
+        ),
+    )
+    w_short = Window.partitionBy("id_a").orderBy(F.desc("adc"), F.asc("id_b"))
+    short = (
+        cand.join(tabs, "id_a")
+        .withColumn("adc", adc)
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= n_short)
+        .select("id_a", "id_b")
+    )
 
     # exact re-rank: full vectors attach by id AFTER the shortlist cut
     vecs = emb.select(

@@ -147,24 +147,50 @@ def semantic_dedup(
         )
     assigned = assign_rounded(emb, centroids, id_col, vec_col)
 
+    # the cell self-join carries ONLY (id, ccos) — vectors attach by id
+    # AFTER the keeper-order prune (broadcast/AQE hash joins that never
+    # shuffle the pair table), the same vectors-never-ride-the-pair-
+    # shuffle rule as similarity/ivf. With vectors inline both cell
+    # shuffles hauled dim doubles per row and every ordered pair
+    # materialized ~2·dim doubles through the join (measured: the
+    # whole 37 s stage wall at the sf0.1 oracle view).
     a = assigned.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"),
-        "cell", F.col("ccos").alias("ccos_a"),
+        F.col("id").alias("id_a"), "cell", F.col("ccos").alias("ccos_a")
     )
     b = assigned.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-        "cell", F.col("ccos").alias("ccos_b"),
+        F.col("id").alias("id_b"), "cell", F.col("ccos").alias("ccos_b")
+    )
+    # norms hoisted to one per-vector column: cosine per pair is then a
+    # single zip_with/aggregate dot over the pair instead of three
+    # (dot + both norms — measured 13.3 → ~5 s on the 2.27M sf0.1
+    # pairs). sqrt(dot(v,v)) is computed by the same expression on the
+    # same input, so the quotient is bit-identical to the inline form.
+    from .similarity import _dot, _norm
+
+    vecs = assigned.select("id", "vec", _norm(F.col("vec")).alias("nrm"))
+    pair_cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     # every ordered pair (loser=a, dominator=b) in the same cell above
-    # tau where b precedes a in keeper order (ccos ASC, id ASC)
+    # tau where b precedes a in keeper order (ccos ASC, id ASC); the
+    # keeper-order filter runs before the cosine so only ordered-
+    # dominating pairs pay the vector attach + dot product
     dominated = (
         a.join(b, "cell")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(tau))
         .filter(
             (F.col("ccos_b") < F.col("ccos_a"))
             | ((F.col("ccos_b") == F.col("ccos_a")) & (F.col("id_b") < F.col("id_a")))
         )
+        .join(
+            vecs.withColumnsRenamed({"id": "id_a", "vec": "va", "nrm": "nrm_a"}),
+            "id_a",
+        )
+        .join(
+            vecs.withColumnsRenamed({"id": "id_b", "vec": "vb", "nrm": "nrm_b"}),
+            "id_b",
+        )
+        .filter(pair_cos >= F.lit(tau))
     )
     w = Window.partitionBy("id_a").orderBy(F.asc("ccos_b"), F.asc("id_b"))
     dup_of = (
