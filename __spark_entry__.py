@@ -159,18 +159,20 @@ def _q_cluster_labels(spark, sf_dir):
     """Connected components over exact-dup edges; for exact edges the
     component label provably equals min(doc_id) per identical text —
     which is what the SQL oracle computes."""
+    # doc ids stay LONGS end-to-end: exact_edges/CC only need an
+    # orderable id and min(long) IS the numeric min the oracle label
+    # uses — the old cast-to-string + zero-pad detour shuffled ~21-byte
+    # string keys through every CC round where 8-byte longs do
     base = _docs_with_dups(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"),
+        F.col("doc_id").alias("url"),
         TX.content_sha(F.col("text")).alias("content_sha"),
         F.col("n_chars").alias("size"),
     )
-    # zero-pad so string order == numeric order for the label choice
-    padded = base.withColumn("url", F.lpad("url", 9, "0"))
-    edges = exact.exact_edges(padded)
-    labels = assign_all(padded, connected_components(edges))
+    edges = exact.exact_edges(base)
+    labels = assign_all(base, connected_components(edges))
     return labels.select(
-        F.col("url").cast("long").alias("doc_id"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("url").alias("doc_id"),
+        F.col("cluster_id").alias("cluster_id"),
     )
 
 
